@@ -1,0 +1,278 @@
+"""DSTformer — dual-stream spatio-temporal transformer backbone, in Flax.
+
+Behavioral parity target: /root/reference/lib/model/DSTformer.py:269-361.
+Per layer, one S->T branch (spatial attention, MLP, temporal attention, MLP)
+and one T->S branch run in parallel on the same input and are fused by a
+learned per-channel softmax gate (`ts_attn`, DSTformer.py:340-351;
+zero-weight / 0.5-bias init, DSTformer.py:309-311). Input (B, F, J, 3) is
+embedded (DSTformer.py:333), gets a spatial pos-embed (1, J, C) and a
+temporal embed (1, maxlen, 1, C) truncated to F (DSTformer.py:334-336),
+passes `depth` fused dual blocks, then LayerNorm -> pre_logits
+(Linear dim_feat->dim_rep + Tanh, DSTformer.py:294-297) -> head
+(Linear dim_rep->dim_out, DSTformer.py:300).
+
+TPU-first design notes:
+- The whole network keeps the (B, F, J, C) layout; the reference's
+  (B*F, J, C) flattening is just a view, so no data movement differs.
+- Attention runs through ops.st_attention (XLA einsum or fused Pallas).
+- `compute_dtype=bfloat16` runs all matmuls in bf16 on the MXU with fp32
+  params and fp32 softmax/LayerNorm accumulation.
+- Variable clip length F is handled by slicing the temporal embedding;
+  each distinct F compiles once (static shapes under jit).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from motionbert_tpu.ops.attention import st_attention
+
+Dtype = Any
+
+
+def trunc_normal_init(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop the entire residual branch per sample.
+
+    Parity: /root/reference/lib/model/drop.py:17-32 (scale by 1/keep_prob,
+    binarized per-sample mask over the leading axis).
+    """
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> drop -> fc2 -> drop (reference DSTformer.py:69-85)."""
+
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(), name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_features, dtype=self.dtype,
+                     kernel_init=trunc_normal_init(), name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Single-axis attention over joints ("spatial") or frames ("temporal").
+
+    Parity: /root/reference/lib/model/DSTformer.py:88-200. qkv is one fused
+    projection; scale = head_dim ** -0.5 (DSTformer.py:94).
+    """
+
+    dim: int
+    num_heads: int
+    mode: str  # "spatial" | "temporal"
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    attn_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, F, J, C = x.shape
+        H = self.num_heads
+        d = C // H
+        scale = self.qk_scale if self.qk_scale is not None else d ** -0.5
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(), name="qkv")(x)
+        qkv = qkv.reshape(B, F, J, 3, H, d)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+
+        out = st_attention(q, k, v, mode=self.mode, scale=scale,
+                           impl=self.attn_impl)
+        # NOTE: attn_drop (dropout on attention weights) is folded away here
+        # because every shipped config runs attn_drop_rate=0 (reference
+        # load_backbone, learning.py:83-85 passes no attn_drop).
+        out = out.reshape(B, F, J, C)
+        out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init(),
+                       name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-LN dual attention+MLP block (reference DSTformer.py:214-267).
+
+    st_mode="stage_st": spatial attn+MLP then temporal attn+MLP;
+    st_mode="stage_ts": the reverse order. DropPath on every residual.
+    """
+
+    dim: int
+    num_heads: int
+    st_mode: str  # "stage_st" | "stage_ts"
+    mlp_ratio: float = 4.0
+    mlp_out_ratio: float = 1.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    attn_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
+        self.norm1_s = ln("norm1_s")
+        self.norm1_t = ln("norm1_t")
+        self.norm2_s = ln("norm2_s")
+        self.norm2_t = ln("norm2_t")
+        kw = dict(dim=self.dim, num_heads=self.num_heads,
+                  qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                  attn_drop=self.attn_drop, proj_drop=self.drop,
+                  attn_impl=self.attn_impl, dtype=self.dtype)
+        self.attn_s = Attention(mode="spatial", name="attn_s", **kw)
+        self.attn_t = Attention(mode="temporal", name="attn_t", **kw)
+        hidden = int(self.dim * self.mlp_ratio)
+        out_dim = int(self.dim * self.mlp_out_ratio)
+        self.mlp_s = Mlp(hidden_features=hidden, out_features=out_dim,
+                         drop=self.drop, dtype=self.dtype, name="mlp_s")
+        self.mlp_t = Mlp(hidden_features=hidden, out_features=out_dim,
+                         drop=self.drop, dtype=self.dtype, name="mlp_t")
+        self.droppath = DropPath(self.drop_path)
+
+    def __call__(self, x, deterministic: bool = True):
+        dp = lambda y: self.droppath(y, deterministic=deterministic)
+        if self.st_mode == "stage_st":
+            x = x + dp(self.attn_s(self.norm1_s(x), deterministic))
+            x = x + dp(self.mlp_s(self.norm2_s(x), deterministic))
+            x = x + dp(self.attn_t(self.norm1_t(x), deterministic))
+            x = x + dp(self.mlp_t(self.norm2_t(x), deterministic))
+        elif self.st_mode == "stage_ts":
+            x = x + dp(self.attn_t(self.norm1_t(x), deterministic))
+            x = x + dp(self.mlp_t(self.norm2_t(x), deterministic))
+            x = x + dp(self.attn_s(self.norm1_s(x), deterministic))
+            x = x + dp(self.mlp_s(self.norm2_s(x), deterministic))
+        else:
+            raise NotImplementedError(self.st_mode)
+        return x
+
+
+class DSTformer(nn.Module):
+    """The MotionBERT backbone. Input (B, F, J, dim_in) -> (B, F, J, dim_out),
+    or the (B, F, J, dim_rep) motion representation with return_rep=True
+    (the public `get_representation` contract, reference DSTformer.py:360).
+    """
+
+    dim_in: int = 3
+    dim_out: int = 3
+    dim_feat: int = 256
+    dim_rep: int = 512
+    depth: int = 5
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    num_joints: int = 17
+    maxlen: int = 243
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    att_fuse: bool = True
+    attn_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.joints_embed = nn.Dense(self.dim_feat, dtype=self.dtype,
+                                     kernel_init=trunc_normal_init(),
+                                     name="joints_embed")
+        self.pos_drop = nn.Dropout(self.drop_rate)
+        # stochastic-depth decay rule (reference DSTformer.py:279)
+        import numpy as np
+        dpr = [float(x) for x in
+               np.linspace(0, self.drop_path_rate, self.depth)]
+        kw = dict(dim=self.dim_feat, num_heads=self.num_heads,
+                  mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                  qk_scale=self.qk_scale, drop=self.drop_rate,
+                  attn_drop=self.attn_drop_rate, attn_impl=self.attn_impl,
+                  dtype=self.dtype)
+        self.blocks_st = [
+            Block(st_mode="stage_st", drop_path=dpr[i], **kw)
+            for i in range(self.depth)
+        ]
+        self.blocks_ts = [
+            Block(st_mode="stage_ts", drop_path=dpr[i], **kw)
+            for i in range(self.depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
+        if self.dim_rep:
+            self.pre_logits = nn.Dense(self.dim_rep, dtype=self.dtype,
+                                       kernel_init=trunc_normal_init(),
+                                       name="pre_logits")
+        if self.dim_out > 0:
+            self.head = nn.Dense(self.dim_out, dtype=self.dtype,
+                                 kernel_init=trunc_normal_init(), name="head")
+        self.temp_embed = self.param(
+            "temp_embed", trunc_normal_init(),
+            (1, self.maxlen, 1, self.dim_feat))
+        self.pos_embed = self.param(
+            "pos_embed", trunc_normal_init(),
+            (1, self.num_joints, self.dim_feat))
+        if self.att_fuse:
+            # Gate init: zero weight, 0.5 bias (reference DSTformer.py:309-311)
+            self.ts_attn = [
+                nn.Dense(2, dtype=self.dtype,
+                         kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.constant(0.5))
+                for _ in range(self.depth)
+            ]
+
+    def __call__(self, x, return_rep: bool = False,
+                 deterministic: bool = True):
+        B, F, J, C_in = x.shape
+        x = x.astype(self.dtype)
+        x = self.joints_embed(x)                       # (B, F, J, C)
+        x = x + self.pos_embed.astype(self.dtype)
+        x = x + self.temp_embed[:, :F].astype(self.dtype)
+        x = self.pos_drop(x, deterministic=deterministic)
+
+        for idx in range(self.depth):
+            x_st = self.blocks_st[idx](x, deterministic)
+            x_ts = self.blocks_ts[idx](x, deterministic)
+            if self.att_fuse:
+                alpha = jnp.concatenate([x_st, x_ts], axis=-1)
+                alpha = self.ts_attn[idx](alpha)       # (B, F, J, 2)
+                alpha = jax.nn.softmax(
+                    alpha.astype(jnp.float32), axis=-1).astype(self.dtype)
+                x = x_st * alpha[..., 0:1] + x_ts * alpha[..., 1:2]
+            else:
+                x = (x_st + x_ts) * 0.5
+        x = self.norm(x)
+        if self.dim_rep:
+            x = jnp.tanh(self.pre_logits(x))           # (B, F, J, dim_rep)
+        if return_rep:
+            return x
+        if self.dim_out > 0:
+            x = self.head(x)
+        return x
+
+    def get_representation(self, x, deterministic: bool = True):
+        return self(x, return_rep=True, deterministic=deterministic)

@@ -1,0 +1,53 @@
+"""Backbone registry and factory (parity: /root/reference/lib/utils/learning.py:79-102).
+
+The reference dispatches on `args.backbone` but only ships DSTformer (the
+other branches import files that don't exist). We keep an extensible
+registry with DSTformer registered.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+from motionbert_tpu.models.dstformer import DSTformer
+
+_BACKBONES: Dict[str, Callable] = {}
+
+
+def register_backbone(name: str):
+    def deco(fn):
+        _BACKBONES[name] = fn
+        return fn
+    return deco
+
+
+@register_backbone("DSTformer")
+def _dstformer(args, **overrides):
+    kw = dict(
+        dim_in=3,
+        dim_out=3,
+        dim_feat=args.dim_feat,
+        dim_rep=args.dim_rep,
+        depth=args.depth,
+        num_heads=args.num_heads,
+        mlp_ratio=args.mlp_ratio,
+        maxlen=args.maxlen,
+        num_joints=args.num_joints,
+    )
+    kw.update(overrides)
+    return DSTformer(**kw)
+
+
+def load_backbone(args, compute_dtype=jnp.float32, attn_impl: str = "xla",
+                  **overrides):
+    """Build the backbone module named by args.backbone (default DSTformer)."""
+    name = args.get("backbone", "DSTformer") if hasattr(args, "get") else \
+        getattr(args, "backbone", "DSTformer")
+    if name not in _BACKBONES:
+        raise ValueError(f"Undefined backbone type: {name!r}; "
+                         f"registered: {sorted(_BACKBONES)}")
+    overrides.setdefault("dtype", compute_dtype)
+    overrides.setdefault("attn_impl", attn_impl)
+    return _BACKBONES[name](args, **overrides)

@@ -1,0 +1,95 @@
+"""DSTformer parity vs reference goldens + architectural invariants."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionbert_tpu.models.dstformer import DSTformer
+from motionbert_tpu.models.convert import (
+    torch_state_dict_to_flax, flax_to_torch_state_dict,
+)
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+CFGS = {
+    "small": dict(dim_in=3, dim_out=3, dim_feat=64, dim_rep=64, depth=2,
+                  num_heads=4, mlp_ratio=2, num_joints=17, maxlen=27),
+    "mid": dict(dim_in=3, dim_out=3, dim_feat=128, dim_rep=128, depth=5,
+                num_heads=8, mlp_ratio=2, num_joints=17, maxlen=81),
+}
+
+
+def _load_golden(name):
+    z = np.load(os.path.join(GOLDENS, f"dstformer_{name}.npz"))
+    sd = {k[3:]: z[k] for k in z.files if k.startswith("sd:")}
+    return z["x"], z["out"], z["rep"], sd
+
+
+@pytest.mark.parametrize("name", ["small", "mid"])
+def test_forward_parity_with_reference(name):
+    x, out_ref, rep_ref, sd = _load_golden(name)
+    model = DSTformer(**CFGS[name])
+    variables = torch_state_dict_to_flax(sd)
+    out = model.apply(variables, jnp.asarray(x))
+    rep = model.apply(variables, jnp.asarray(x), return_rep=True)
+    np.testing.assert_allclose(np.asarray(out), out_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rep), rep_ref, atol=2e-5)
+
+
+def test_converter_roundtrip():
+    _, _, _, sd = _load_golden("small")
+    variables = torch_state_dict_to_flax(sd)
+    back = flax_to_torch_state_dict(variables)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(back[k], sd[k], atol=0)
+
+
+def test_variable_frame_lengths():
+    """Same params accept any F <= maxlen (temp_embed truncation)."""
+    x, _, _, sd = _load_golden("small")
+    model = DSTformer(**CFGS["small"])
+    variables = torch_state_dict_to_flax(sd)
+    for F in (1, 5, 27):
+        xi = jnp.asarray(x[:, :1].repeat(F, axis=1))
+        out = model.apply(variables, xi)
+        assert out.shape == (2, F, 17, 3)
+
+
+def test_init_and_shapes():
+    model = DSTformer(**CFGS["small"])
+    x = jnp.zeros((2, 9, 17, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 9, 17, 3)
+    rep = model.apply(variables, x, return_rep=True)
+    assert rep.shape == (2, 9, 17, 64)
+    # att_fuse gate init: zero weight, 0.5 bias -> both streams weighted 0.5
+    p = variables["params"]["ts_attn_0"]
+    assert (np.asarray(p["kernel"]) == 0).all()
+    assert (np.asarray(p["bias"]) == 0.5).all()
+
+
+def test_param_count_full_size():
+    """Full MotionBERT config ~42.5M params (162MB fp32 ckpt, README.md:78)."""
+    model = DSTformer(dim_in=3, dim_out=3, dim_feat=512, dim_rep=512,
+                      depth=5, num_heads=8, mlp_ratio=2, num_joints=17,
+                      maxlen=243)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 9, 17, 3))))
+    n = sum(np.prod(v.shape) for v in
+            jax.tree_util.tree_leaves(variables["params"]))
+    assert 40e6 < n < 45e6
+
+
+def test_bf16_close_to_f32():
+    x, _, _, sd = _load_golden("small")
+    variables = torch_state_dict_to_flax(sd)
+    f32 = DSTformer(**CFGS["small"]).apply(variables, jnp.asarray(x))
+    bf16 = DSTformer(dtype=jnp.bfloat16, **CFGS["small"]).apply(
+        variables, jnp.asarray(x))
+    # motion coords are O(1); bf16 end-to-end should stay within ~2e-2
+    assert float(jnp.max(jnp.abs(f32 - bf16.astype(jnp.float32)))) < 2e-2

@@ -1,0 +1,217 @@
+"""Generate golden test vectors from the reference implementation.
+
+Run where /root/reference (the PyTorch MotionBERT repo) is available:
+    python tools/make_goldens.py
+
+Outputs npz files under tests/goldens/ which are committed; the test suite
+never imports the reference directly. Goldens capture *behavior* (inputs ->
+outputs) of the reference for parity testing of the from-scratch JAX
+implementation.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+REF = os.environ.get("MOTIONBERT_REF", "/root/reference")
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+os.makedirs(OUT, exist_ok=True)
+
+sys.path.insert(0, REF)
+
+# Shim optional reference deps that aren't installed (module-level imports
+# in the reference: easydict in tools.py, ipdb in dataset_wild.py).
+import types  # noqa: E402
+
+if "easydict" not in sys.modules:
+    _ed = types.ModuleType("easydict")
+
+    class _EasyDict(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    _ed.EasyDict = _EasyDict
+    sys.modules["easydict"] = _ed
+for _name in ("ipdb",):
+    if _name not in sys.modules:
+        sys.modules[_name] = types.ModuleType(_name)
+
+import torch  # noqa: E402
+
+torch.manual_seed(0)
+np.random.seed(0)
+
+
+def golden_dstformer():
+    from functools import partial
+    import torch.nn as nn
+    from lib.model.DSTformer import DSTformer
+
+    cfgs = {
+        "small": dict(dim_in=3, dim_out=3, dim_feat=64, dim_rep=64, depth=2,
+                      num_heads=4, mlp_ratio=2, num_joints=17, maxlen=27),
+        # Full-architecture shape but scaled-down width so the npz stays small
+        "mid": dict(dim_in=3, dim_out=3, dim_feat=128, dim_rep=128, depth=5,
+                    num_heads=8, mlp_ratio=2, num_joints=17, maxlen=81),
+    }
+    for name, kw in cfgs.items():
+        torch.manual_seed(42)
+        model = DSTformer(norm_layer=partial(nn.LayerNorm, eps=1e-6), **kw)
+        model.eval()
+        F = kw["maxlen"] // 3  # exercise F < maxlen (temp_embed truncation)
+        x = torch.from_numpy(
+            np.random.RandomState(7).uniform(-1, 1, (2, F, 17, 3)).astype(np.float32)
+        )
+        with torch.no_grad():
+            out = model(x)
+            rep = model(x, return_rep=True)
+        data = {"x": x.numpy(), "out": out.numpy(), "rep": rep.numpy()}
+        for k, v in model.state_dict().items():
+            data["sd:" + k] = v.numpy()
+        np.savez_compressed(os.path.join(OUT, f"dstformer_{name}.npz"), **data)
+        print(f"dstformer_{name}: out {out.shape}, params "
+              f"{sum(v.numel() for v in model.state_dict().values())}")
+
+
+def golden_geometry():
+    from lib.utils.utils_data import crop_scale, crop_scale_3d, flip_data, \
+        resample, split_clips
+    from lib.data.dataset_action import coco2h36m, make_cam, human_tracking, \
+        random_move
+    from lib.data.dataset_wild import halpe2h36m
+    from lib.data.dataset_motion_2d import posetrack2h36m
+
+    rs = np.random.RandomState(3)
+    data = {}
+
+    m2d = rs.uniform(0, 1000, (8, 17, 3)).astype(np.float32)
+    m2d[..., 2] = rs.uniform(0.1, 1, (8, 17))
+    m2d[0, 3, 2] = 0  # some invalid joints
+    np.random.seed(11)
+    data["crop_scale_in"] = m2d
+    data["crop_scale_out"] = crop_scale(m2d, [1, 1])
+    np.random.seed(12)
+    data["crop_scale_r_out"] = crop_scale(m2d, [0.5, 2.0])
+    data["crop_scale_r_seed"] = np.array(12)
+
+    m3d = rs.uniform(-1, 1, (9, 17, 3)).astype(np.float32)
+    np.random.seed(13)
+    data["crop_scale_3d_in"] = m3d
+    data["crop_scale_3d_out"] = crop_scale_3d(m3d, [1, 1])
+
+    data["flip_in"] = rs.uniform(-1, 1, (4, 9, 17, 3)).astype(np.float32)
+    data["flip_out"] = flip_data(data["flip_in"])
+
+    data["resample_down"] = np.asarray(resample(100, 32, randomness=False))
+    data["resample_up"] = np.asarray(resample(10, 32, randomness=False))
+    np.random.seed(14)
+    data["resample_replay_up"] = np.asarray(resample(10, 32, replay=True))
+
+    vid_list = np.concatenate([
+        np.full(25, 0), np.full(11, 1), np.full(40, 2), np.full(8, 3),
+    ])
+    np.random.seed(15)
+    clips = split_clips(vid_list, n_frames=16, data_stride=8)
+    data["split_vid_list"] = vid_list
+    data["split_n"] = np.array(16)
+    data["split_stride"] = np.array(8)
+    data["split_clips_out"] = np.stack([np.asarray(list(c)) for c in clips])
+    data["split_seed"] = np.array(15)
+
+    x_coco = rs.uniform(-1, 1, (2, 5, 17, 3))
+    data["coco_in"] = x_coco
+    data["coco_out"] = coco2h36m(x_coco)
+    x_halpe = rs.uniform(-1, 1, (5, 26, 3))
+    data["halpe_in"] = x_halpe
+    data["halpe_out"] = halpe2h36m(x_halpe)
+    x_pt = rs.uniform(-1, 1, (5, 17, 3))
+    data["posetrack_in"] = x_pt
+    data["posetrack_out"] = posetrack2h36m(x_pt)
+
+    data["make_cam_in"] = rs.uniform(0, 480, (2, 5, 17, 2))
+    data["make_cam_shape"] = np.array([480, 640])
+    data["make_cam_out"] = make_cam(data["make_cam_in"], (480, 640))
+
+    x_track = rs.uniform(-1, 1, (2, 12, 17, 2))
+    data["track_in"] = x_track
+    data["track_out"] = human_tracking(x_track)
+
+    np.savez_compressed(os.path.join(OUT, "geometry.npz"), **data)
+    print("geometry goldens written")
+
+
+def golden_rotations():
+    from lib.utils.utils_mesh import batch_rodrigues, quat2mat, \
+        rot6d_to_rotmat, rotation_matrix_to_angle_axis, flip_thetas
+    from lib.model.loss import p_mpjpe, mpjpe
+
+    rs = np.random.RandomState(5)
+    data = {}
+
+    aa = rs.uniform(-1.5, 1.5, (32, 3)).astype(np.float32)
+    data["aa_in"] = aa
+    data["rodrigues_out"] = (
+        batch_rodrigues(torch.from_numpy(aa)).reshape(-1, 3, 3).numpy()
+    )
+
+    quat = rs.normal(size=(16, 4)).astype(np.float32)
+    data["quat_in"] = quat
+    data["quat2mat_out"] = quat2mat(torch.from_numpy(quat)).numpy()
+
+    r6 = rs.normal(size=(24, 6)).astype(np.float32)
+    data["rot6d_in"] = r6
+    data["rot6d_out"] = rot6d_to_rotmat(torch.from_numpy(r6)).numpy()
+
+    rotmats = data["rodrigues_out"]
+    data["rotmat2aa_out"] = rotation_matrix_to_angle_axis(
+        torch.from_numpy(rotmats)).numpy()
+
+    thetas = rs.normal(size=(4, 24, 3)).astype(np.float32)
+    data["thetas_in"] = thetas
+    data["flip_thetas_out"] = flip_thetas(thetas)
+
+    pred = rs.normal(size=(6, 17, 3)).astype(np.float64)
+    gt = pred + rs.normal(scale=0.05, size=(6, 17, 3))
+    data["pmpjpe_pred"] = pred
+    data["pmpjpe_gt"] = gt
+    data["pmpjpe_out"] = p_mpjpe(pred, gt)
+    data["mpjpe_out"] = mpjpe(pred, gt)
+
+    np.savez_compressed(os.path.join(OUT, "rotations.npz"), **data)
+    print("rotation goldens written")
+
+
+def golden_losses():
+    from lib.model.loss import loss_mpjpe, n_mpjpe, loss_velocity, \
+        loss_limb_var, loss_limb_gt, loss_angle, loss_angle_velocity, \
+        loss_2d_weighted, weighted_mpjpe
+
+    rs = np.random.RandomState(9)
+    pred = rs.normal(size=(4, 9, 17, 3)).astype(np.float32)
+    gt = (pred + rs.normal(scale=0.1, size=(4, 9, 17, 3))).astype(np.float32)
+    conf = rs.uniform(0, 1, (4, 9, 17, 1)).astype(np.float32)
+    w = rs.uniform(0.5, 1.5, (4, 1, 1)).astype(np.float32)
+    tp, tg, tc, tw = map(torch.from_numpy, (pred, gt, conf, w))
+    data = {
+        "pred": pred, "gt": gt, "conf": conf, "w": w,
+        "loss_mpjpe": loss_mpjpe(tp, tg).numpy(),
+        "weighted_mpjpe": weighted_mpjpe(tp, tg, tw).numpy(),
+        "n_mpjpe": n_mpjpe(tp, tg).numpy(),
+        "loss_velocity": loss_velocity(tp, tg).numpy(),
+        "loss_limb_var": loss_limb_var(tp).numpy(),
+        "loss_limb_gt": loss_limb_gt(tp, tg).numpy(),
+        "loss_angle": loss_angle(tp, tg).numpy(),
+        "loss_angle_velocity": loss_angle_velocity(tp, tg).numpy(),
+        "loss_2d_weighted": loss_2d_weighted(tp, tg, tc).numpy(),
+    }
+    np.savez_compressed(os.path.join(OUT, "losses.npz"), **data)
+    print("loss goldens written")
+
+
+if __name__ == "__main__":
+    golden_dstformer()
+    golden_geometry()
+    golden_rotations()
+    golden_losses()
+    print("all goldens written to", OUT)
