@@ -104,15 +104,19 @@ class Attention(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init(), name="qkv")(x)
-        qkv = qkv.reshape(B, F, J, 3, H, d)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        # Split along the (lane-contiguous) channel axis — the torch layout
+        # packs the 3C output as [q|k|v] each (H, d) (DSTformer.py:113).
+        # Heads are split inside the attention op; activations stay in the
+        # natural (B, F, J, C) layout end to end.
+        q = qkv[..., 0 * C:1 * C]
+        k = qkv[..., 1 * C:2 * C]
+        v = qkv[..., 2 * C:3 * C]
 
-        out = st_attention(q, k, v, mode=self.mode, scale=scale,
+        out = st_attention(q, k, v, mode=self.mode, num_heads=H, scale=scale,
                            impl=self.attn_impl)
         # NOTE: attn_drop (dropout on attention weights) is folded away here
         # because every shipped config runs attn_drop_rate=0 (reference
         # load_backbone, learning.py:83-85 passes no attn_drop).
-        out = out.reshape(B, F, J, C)
         out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init(),
                        name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)

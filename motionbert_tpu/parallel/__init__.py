@@ -1,0 +1,8 @@
+from motionbert_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    shard_params,
+    param_partition_spec,
+)

@@ -1,0 +1,99 @@
+"""Device mesh + sharding rules: SPMD data/tensor parallelism via jax.sharding.
+
+The reference's only distribution mechanism is single-process DataParallel
+(train.py:257 etc. — replicate module, scatter batch). Here that is a 1-D
+"data" mesh axis with the batch dimension sharded and params replicated;
+XLA inserts the gradient all-reduce over ICI. A second optional "model"
+axis tensor-shards the wide Dense kernels (qkv/proj/MLP, hidden-dim cols)
+for scale-out beyond pure DP — not needed for the 42M-param flagship, but
+part of the framework's surface (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a ("data", "model") mesh over the available devices.
+
+    Defaults to all devices on the data axis (pure DP, the reference's
+    semantics). n_model > 1 tensor-shards the wide matmuls.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over "data"; replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a (pytree of) host array(s) with batch sharded over "data"."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+# Tensor-parallel partitioning rules for DSTformer-family params: shard the
+# hidden/output dimension of the wide kernels over "model". Column-parallel
+# for fan-out layers (qkv, fc1), row-parallel for fan-in (proj, fc2) so the
+# activation all-reduce happens once per residual branch.
+_TP_RULES = [
+    (re.compile(r".*(qkv|fc1)/kernel$"), P(None, "model")),
+    (re.compile(r".*(qkv|fc1)/bias$"), P("model")),
+    (re.compile(r".*(proj|fc2)/kernel$"), P("model", None)),
+]
+
+
+def param_partition_spec(path: str, value) -> P:
+    """PartitionSpec for one param, keyed by its flattened path string."""
+    for pat, spec in _TP_RULES:
+        if pat.match(path):
+            # only shard if the dim is divisible; callers check mesh size
+            return spec
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Device-put a param pytree with TP rules on the wide kernels.
+
+    With a model axis of size 1 every spec collapses to full replication
+    (pure DP). Dimensions not divisible by the model-axis size fall back to
+    replication for that param.
+    """
+    n_model = mesh.shape["model"]
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def place(path_entries, x):
+        path = "/".join(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path_entries
+        )
+        spec = param_partition_spec(path, x)
+        # check divisibility of sharded dims
+        for dim, axis in enumerate(spec):
+            if axis == "model" and x.shape[dim] % n_model != 0:
+                spec = P()
+                break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    placed = {jax.tree_util.keystr(p): place(p, v) for p, v in flat}
+    # rebuild tree
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [placed[jax.tree_util.keystr(p)] for p, v in flat])

@@ -1,0 +1,123 @@
+"""Train state: params + AdamW optimizer with mutable learning rate.
+
+The reference decays the LR exponentially *per epoch* by mutating the
+optimizer's param_groups (train.py:359-362: lr *= lr_decay). We mirror that
+with optax.inject_hyperparams(adamw) so `state.set_lr(lr)` is a pure pytree
+update — no recompilation, faithful resume semantics (the checkpoint stores
+the current lr, train.py:51).
+
+Supports multiple param groups with distinct LRs (action/mesh finetuning
+uses lr_backbone vs lr_head, train_action.py:142-147) via optax.multi_transform
+keyed on the top-level param collection.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def make_adamw(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=lr, weight_decay=weight_decay)
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Minimal functional train state (params, opt state, step)."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+    # non-param variable collections (e.g. batch_stats), may be None
+    extra_vars: Any = None
+
+    @classmethod
+    def create(cls, apply_fn, params, tx, extra_vars=None):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), tx=tx, apply_fn=apply_fn,
+                   extra_vars=extra_vars)
+
+    def apply_gradients(self, grads, new_extra_vars=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state,
+            extra_vars=(new_extra_vars if new_extra_vars is not None
+                        else self.extra_vars))
+
+    @property
+    def lr(self):
+        return _find_hyperparam(self.opt_state, "learning_rate")
+
+    def set_lr(self, lr):
+        """Return a new state with the injected learning_rate replaced."""
+        return self.replace(
+            opt_state=_set_hyperparam(self.opt_state, "learning_rate",
+                                      lambda _: lr))
+
+    def scale_lr(self, factor):
+        """Multiply every injected learning_rate by factor (per-epoch decay,
+        reference train.py:359-362 decays all param groups)."""
+        return self.replace(
+            opt_state=_set_hyperparam(self.opt_state, "learning_rate",
+                                      lambda old: old * factor))
+
+
+def _find_hyperparam(opt_state, name):
+    found = []
+
+    def visit(node):
+        if hasattr(node, "hyperparams") and name in node.hyperparams:
+            found.append(node.hyperparams[name])
+
+    _walk_states(opt_state, visit)
+    return found[0] if found else None
+
+
+def _set_hyperparam(opt_state, name, fn):
+    def rewrite(node):
+        if hasattr(node, "hyperparams") and name in node.hyperparams:
+            hp = dict(node.hyperparams)
+            hp[name] = jnp.asarray(fn(hp[name]), jnp.float32)
+            return node._replace(hyperparams=hp)
+        return None
+
+    return _rewrite_states(opt_state, rewrite)
+
+
+def _walk_states(node, visit):
+    visit(node)
+    if isinstance(node, (tuple, list)):
+        for c in node:
+            _walk_states(c, visit)
+    elif hasattr(node, "inner_state"):
+        _walk_states(node.inner_state, visit)
+    elif hasattr(node, "inner_states"):
+        for c in node.inner_states.values():
+            _walk_states(c, visit)
+
+
+def _rewrite_states(node, rewrite):
+    new = rewrite(node)
+    if new is not None:
+        return new
+    if isinstance(node, tuple) and not hasattr(node, "_fields"):
+        return tuple(_rewrite_states(c, rewrite) for c in node)
+    if isinstance(node, list):
+        return [_rewrite_states(c, rewrite) for c in node]
+    if hasattr(node, "inner_state"):
+        return node._replace(inner_state=_rewrite_states(node.inner_state,
+                                                         rewrite))
+    if hasattr(node, "inner_states"):
+        return node._replace(inner_states={
+            k: _rewrite_states(v, rewrite) for k, v in node.inner_states.items()
+        })
+    return node

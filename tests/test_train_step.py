@@ -1,0 +1,125 @@
+"""Train-step integration tests: loss decreases, sharding equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from motionbert_tpu.data.augment import NoiseParams
+from motionbert_tpu.models.dstformer import DSTformer
+from motionbert_tpu.parallel import make_mesh, shard_batch, shard_params
+from motionbert_tpu.train.pose3d import make_train_step, make_eval_step
+from motionbert_tpu.train.state import TrainState, make_adamw
+
+CFG = dict(dim_in=3, dim_out=3, dim_feat=32, dim_rep=32, depth=2,
+           num_heads=4, mlp_ratio=2, num_joints=17, maxlen=27)
+LAMBDAS = dict(lambda_scale=0.5, lambda_3d_velocity=20.0, lambda_lv=0.0,
+               lambda_lg=0.0, lambda_a=0.0, lambda_av=0.0)
+
+
+def _setup(batch=8, frames=9):
+    model = DSTformer(**CFG)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, frames, 17, 3)))["params"]
+    state = TrainState.create(model.apply, params, make_adamw(1e-3, 0.01))
+    rs = np.random.RandomState(0)
+    gt3d = rs.uniform(-1, 1, (batch, frames, 17, 3)).astype(np.float32)
+    inp2d = np.concatenate([gt3d[..., :2],
+                            np.ones((batch, frames, 17, 1), np.float32)], -1)
+    return model, state, jnp.asarray(inp2d), jnp.asarray(gt3d)
+
+
+def test_loss_decreases():
+    model, state, x, y = _setup()
+    step = make_train_step(model, LAMBDAS, rootrel=True, no_conf=False,
+                           use_mask=False, use_noise=False, noise_params=None)
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for i in range(30):
+        rng, sub = jax.random.split(rng)
+        state, terms = step(state, x, y, sub)
+        if first is None:
+            first = float(terms["total"])
+    assert float(terms["total"]) < first * 0.9
+    assert int(state.step) == 30
+
+
+def test_2d_branch():
+    model, state, x, y2d = _setup()
+    step = make_train_step(model, LAMBDAS, rootrel=True, no_conf=False,
+                           use_mask=False, use_noise=False, noise_params=None)
+    state, terms = step(state, x, x, jax.random.PRNGKey(2), has_3d=False)
+    assert "2d_proj" in terms and np.isfinite(float(terms["total"]))
+
+
+def test_noise_mask_path():
+    p = NoiseParams.load("params/synthetic_noise.npz", "params/d2c_params.pkl")
+    model, state, x, y = _setup()
+    step = make_train_step(model, LAMBDAS, rootrel=True, no_conf=False,
+                           use_mask=True, use_noise=True, noise_params=p,
+                           mask_ratio=0.05, mask_T_ratio=0.1)
+    state, terms = step(state, x, y, jax.random.PRNGKey(3))
+    assert np.isfinite(float(terms["total"]))
+
+
+def test_corruption_statistics():
+    """Noise magnitudes and confidences behave like the learned model."""
+    from motionbert_tpu.data.augment import add_noise
+
+    p = NoiseParams.load("params/synthetic_noise.npz", "params/d2c_params.pkl")
+    x = jnp.zeros((16, 27, 17, 2))
+    out = add_noise(jax.random.PRNGKey(0), x, p)
+    assert out.shape == (16, 27, 17, 3)
+    conf = np.asarray(out[..., 2])
+    assert (conf >= 0).all() and (conf <= 1).all()
+    delta = np.asarray(out[..., :2])
+    # noise is small in normalized coords but nonzero
+    assert 0 < np.abs(delta).mean() < 0.1
+    # confidence anti-correlates with displacement
+    dis = np.linalg.norm(delta, axis=-1).ravel()
+    cc = np.corrcoef(dis, conf.ravel())[0, 1]
+    assert cc < -0.2
+
+
+def test_lr_set_and_scale():
+    _, state, _, _ = _setup()
+    assert float(state.lr) == pytest.approx(1e-3)
+    state = state.scale_lr(0.99)
+    assert float(state.lr) == pytest.approx(0.99e-3)
+    state = state.set_lr(5e-4)
+    assert float(state.lr) == pytest.approx(5e-4)
+
+
+def test_sharded_step_matches_single_device():
+    """DP over the 8-device CPU mesh computes the same loss as 1 device."""
+    model, state, x, y = _setup(batch=8)
+    step = make_train_step(model, LAMBDAS, rootrel=True, no_conf=False,
+                           use_mask=False, use_noise=False, noise_params=None)
+    rng = jax.random.PRNGKey(4)
+    _, terms_single = step(state, x, y, rng)
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    model2, state2, _, _ = _setup(batch=8)
+    state2 = state2.replace(
+        params=shard_params(state2.params, mesh),
+        opt_state=jax.device_put(
+            state2.opt_state,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
+    xs, ys = shard_batch((x, y), mesh)
+    new_state, terms_sharded = step(state2, xs, ys, rng)
+    np.testing.assert_allclose(float(terms_sharded["total"]),
+                               float(terms_single["total"]), rtol=1e-5)
+
+
+def test_eval_step_flip_tta():
+    model, state, x, y = _setup()
+    ev = make_eval_step(model, no_conf=False, flip_tta=True)
+    out = ev(state.params, x)
+    assert out.shape == y.shape
+    # flip TTA of a flipped input gives the flipped output (equivariance of
+    # the averaging)
+    from motionbert_tpu.geometry.skeleton import flip_data_jnp
+    out_f = ev(state.params, flip_data_jnp(x))
+    np.testing.assert_allclose(np.asarray(flip_data_jnp(out_f)),
+                               np.asarray(out), atol=1e-5)
