@@ -1,0 +1,132 @@
+"""Checkpoint manager with the reference's file-role semantics.
+
+Parity target: /root/reference/train.py:46-54, 364-374 (and the same
+pattern in train_action.py / train_mesh.py):
+- `latest_epoch.ckpt` written every epoch,
+- `epoch_{n}.ckpt` every `checkpoint_frequency` epochs,
+- `best_epoch.ckpt` on metric improvement,
+- auto-resume from `latest_epoch.ckpt` when present,
+- payload: {epoch, lr, params, opt_state, extra_vars, best_metric}.
+
+Format: pickle of a numpy-ified pytree (the reference uses torch.save, also
+pickle). Device restore re-places leaves with jax.device_put. Tolerant
+backbone-only loading mirrors load_pretrained_weights (learning.py:39-67):
+name+shape-matched leaves are loaded, the rest keep their init values.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_checkpoint(path: str, *, epoch: int, lr: float, params,
+                    opt_state=None, extra_vars=None, best_metric=None,
+                    meta: Optional[dict] = None):
+    payload = {
+        "epoch": epoch,
+        "lr": float(lr) if lr is not None else None,
+        "params": _to_host(params),
+        "opt_state": _to_host(opt_state) if opt_state is not None else None,
+        "extra_vars": _to_host(extra_vars) if extra_vars is not None else None,
+        "best_metric": best_metric,
+        "meta": meta or {},
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)  # atomic publish
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_torch_checkpoint(path: str, model_key: str = "model_pos") -> dict:
+    """Read a reference torch .bin checkpoint into flax variables.
+
+    Needs torch (CPU) installed. Returns {'params': ..., maybe 'batch_stats'}.
+    """
+    import torch
+
+    from motionbert_tpu.models.convert import torch_state_dict_to_flax
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt[model_key] if model_key in ckpt else (
+        ckpt.get("model", ckpt.get("state_dict", ckpt)))
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return torch_state_dict_to_flax(sd)
+
+
+def load_pretrained_params(init_params, ckpt_params, prefix: str = "") -> tuple:
+    """Tolerant weight loading: copy leaves whose path+shape match; keep
+    init values elsewhere. Returns (params, matched, discarded) where
+    matched/discarded are lists of path strings.
+    """
+    flat_init = dict(jax.tree_util.tree_flatten_with_path(init_params)[0])
+    flat_ckpt = dict(jax.tree_util.tree_flatten_with_path(ckpt_params)[0])
+    matched, discarded = [], []
+    out = {}
+    for path, v in flat_init.items():
+        key = jax.tree_util.keystr(path)
+        if path in flat_ckpt and flat_ckpt[path].shape == v.shape:
+            out[path] = flat_ckpt[path]
+            matched.append(key)
+        else:
+            out[path] = v
+            discarded.append(key)
+    treedef = jax.tree_util.tree_structure(init_params)
+    leaves = [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(init_params)[0]]
+    return jax.tree_util.tree_unflatten(treedef, leaves), matched, discarded
+
+
+class CheckpointManager:
+    """Directory-level manager implementing the reference's roles."""
+
+    LATEST = "latest_epoch.ckpt"
+    BEST = "best_epoch.ckpt"
+
+    def __init__(self, directory: str, frequency: int = 1):
+        self.dir = directory
+        self.frequency = max(int(frequency), 1)
+        os.makedirs(directory, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.dir, name)
+
+    @property
+    def latest_path(self) -> str:
+        return self.path(self.LATEST)
+
+    def has_latest(self) -> bool:
+        return os.path.exists(self.latest_path)
+
+    def save_epoch(self, epoch: int, lr, params, opt_state=None,
+                   extra_vars=None, best_metric=None, improved: bool = False,
+                   meta=None):
+        """Write latest (always), epoch_{n} (on frequency), best (if improved).
+
+        Matches reference train.py:364-374: epoch_{n} gated on
+        (epoch + 1) % checkpoint_frequency == 0.
+        """
+        kw = dict(epoch=epoch, lr=lr, params=params, opt_state=opt_state,
+                  extra_vars=extra_vars, best_metric=best_metric, meta=meta)
+        save_checkpoint(self.latest_path, **kw)
+        if (epoch + 1) % self.frequency == 0:
+            save_checkpoint(self.path(f"epoch_{epoch}.ckpt"), **kw)
+        if improved:
+            save_checkpoint(self.path(self.BEST), **kw)
+
+    def load_latest(self) -> Optional[dict]:
+        if self.has_latest():
+            return load_checkpoint(self.latest_path)
+        return None

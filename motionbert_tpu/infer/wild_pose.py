@@ -1,0 +1,77 @@
+"""In-the-wild 3D pose inference (parity: /root/reference/infer_wild.py).
+
+AlphaPose JSON -> halpe2h36m -> normalize -> chunk into clip_len windows ->
+jitted flip-averaged DSTformer -> root handling -> X3D.npy (+ optional mp4
+render, optional pixel-space rescale). The per-clip-length jit cache means
+at most two compilations (full clips + the tail clip).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def run_wild_pose(args, *, json_path: str, out_path: str,
+                  vid_size=None, fps_in: float = 30.0,
+                  pixel: bool = False, focus: Optional[int] = None,
+                  clip_len: int = 243, params=None, model=None,
+                  render: bool = True, ref_3d_motion=None):
+    """Returns the (T, 17, 3) predicted 3D motion (and writes X3D.npy).
+
+    args: model config (dim_feat, ...). params: flax params (pre-loaded).
+    vid_size: (w, h) of the source video, or None to use crop_scale.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from motionbert_tpu.data.dataset_wild import WildDetDataset
+    from motionbert_tpu.train.pose3d import make_eval_step
+
+    os.makedirs(out_path, exist_ok=True)
+
+    if vid_size is not None:
+        wild_dataset = WildDetDataset(json_path, clip_len=clip_len,
+                                      vid_size=vid_size, scale_range=None,
+                                      focus=focus)
+    else:
+        wild_dataset = WildDetDataset(json_path, clip_len=clip_len,
+                                      vid_size=None, scale_range=[1, 1],
+                                      focus=focus)
+
+    eval_step = make_eval_step(model, no_conf=args.get("no_conf", False),
+                               flip_tta=not args.get("no_flip_tta", False))
+
+    results_all = []
+    for i in range(len(wild_dataset)):
+        clip = wild_dataset[i][None]  # (1, T, 17, 3)
+        pred = np.asarray(eval_step(params, jnp.asarray(clip)))[0]
+        if args.get("rootrel", False):
+            pred = pred - pred[:, 0:1, :]  # (T,17,3) root-relative per frame
+        else:
+            # anchor frame-0 root depth at 0 (infer_wild.py:83-85)
+            pred = pred.copy()
+            pred[..., 2] = pred[..., 2] - pred[0:1, 0:1, 2]
+        results_all.append(pred)
+    results_all = np.concatenate(results_all)
+
+    if render:
+        try:
+            from motionbert_tpu.viz.render import render_and_save
+
+            render_and_save(results_all,
+                            os.path.join(out_path, "X3D.mp4"),
+                            keep_imgs=False, fps=fps_in)
+        except Exception as e:  # rendering is best-effort (headless envs)
+            print(f"WARNING: render failed ({e}); skipping video")
+
+    if pixel:
+        # restore pixel coordinates: undo the [-1,1] normalization
+        # (infer_wild.py:92-95)
+        results_all = results_all * (min(vid_size) / 2.0)
+        results_all[:, :, :2] = results_all[:, :, :2] + np.array(vid_size) / 2.0
+
+    np.save(os.path.join(out_path, "X3D.npy"), results_all)
+    return results_all

@@ -9,6 +9,8 @@ under no_grad on GPU, train.py:162-172).
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import Any, Optional
 
 import jax
@@ -108,3 +110,310 @@ def make_eval_step(model, *, no_conf: bool, flip_tta: bool):
         return pred.astype(jnp.float32)
 
     return eval_step
+
+
+# H36M test videos excluded from evaluation (reference train.py:109-111)
+BLOCK_LIST = ("s_09_act_05_subact_02", "s_09_act_10_subact_02",
+              "s_09_act_13_subact_01")
+
+
+def evaluate(args, model, params, test_loader, datareader,
+             return_results: bool = False):
+    """Full H36M eval protocol (reference train.py:56-153).
+
+    Batched flip-TTA inference -> denormalize to pixels -> per-clip 2.5d
+    scaling -> root-relative -> per-frame error accumulation with overlap
+    counts -> per-action P1 (MPJPE) / P2 (P-MPJPE) means. Returns
+    (e1, e2, results_all[, per_action dict]).
+    """
+    import numpy as np
+
+    from motionbert_tpu.geometry.procrustes import mpjpe, p_mpjpe
+
+    eval_step = make_eval_step(model, no_conf=args.get("no_conf", False),
+                               flip_tta=args.get("flip", False))
+    results_all = []
+    full_bs = None
+    for batch_input, batch_gt in test_loader:
+        n = batch_input.shape[0]
+        full_bs = full_bs or n
+        if n < full_bs:  # pad the tail batch: one compiled shape on TPU
+            batch_input = np.concatenate(
+                [batch_input, np.repeat(batch_input[-1:], full_bs - n, 0)])
+        pred = eval_step(params, jnp.asarray(batch_input))
+        pred = np.array(pred[:n])  # writable host copy
+        batch_input = batch_input[:n]
+        if args.get("rootrel", False):
+            pred[:, :, 0, :] = 0
+        if args.get("gt_2d", False):
+            pred[..., :2] = batch_input[..., :2]
+        results_all.append(pred)
+    results_all = np.concatenate(results_all)
+    e1, e2, per_action = evaluate_predictions(results_all, datareader)
+    if return_results:
+        return e1, e2, results_all, per_action
+    return e1, e2, results_all
+
+
+def evaluate_predictions(results_all, datareader):
+    """Score normalized per-clip predictions with the H36M protocol
+    (the aggregation half of reference train.py:83-151)."""
+    import numpy as np
+
+    from motionbert_tpu.geometry.procrustes import mpjpe, p_mpjpe
+
+    results_all = datareader.denormalize(results_all)
+
+    _, split_id_test = datareader.get_split_id()
+    actions = np.array(datareader.dt_dataset["test"]["action"])
+    factors = np.array(datareader.dt_dataset["test"]["2.5d_factor"])
+    gts = np.array(datareader.dt_dataset["test"]["joints_2.5d_image"])
+    sources = np.array(datareader.dt_dataset["test"]["source"])
+
+    num_test_frames = len(actions)
+    frames = np.arange(num_test_frames)
+    action_clips = actions[split_id_test]
+    factor_clips = factors[split_id_test]
+    source_clips = sources[split_id_test]
+    frame_clips = frames[split_id_test]
+    gt_clips = gts[split_id_test]
+    assert len(results_all) == len(action_clips)
+
+    e1_all = np.zeros(num_test_frames)
+    e2_all = np.zeros(num_test_frames)
+    oc = np.zeros(num_test_frames)
+    action_names = sorted(set(datareader.dt_dataset["test"]["action"]))
+    results = {a: [] for a in action_names}
+    results_procrustes = {a: [] for a in action_names}
+
+    for idx in range(len(action_clips)):
+        source = source_clips[idx][0][:-6]
+        if source in BLOCK_LIST:
+            continue
+        frame_list = frame_clips[idx]
+        factor = factor_clips[idx][:, None, None]
+        gt = gt_clips[idx]
+        pred = results_all[idx] * factor
+        pred = pred - pred[:, 0:1, :]  # root-relative
+        gt = gt - gt[:, 0:1, :]
+        e1_all[frame_list] += mpjpe(pred, gt)
+        e2_all[frame_list] += p_mpjpe(pred, gt)
+        oc[frame_list] += 1
+
+    covered = e1_all > 0
+    for idx in np.nonzero(covered)[0]:
+        results[actions[idx]].append(e1_all[idx] / oc[idx])
+        results_procrustes[actions[idx]].append(e2_all[idx] / oc[idx])
+
+    final_result = [np.mean(results[a]) for a in action_names]
+    final_result_procrustes = [np.mean(results_procrustes[a])
+                               for a in action_names]
+    e1 = float(np.mean(final_result))
+    e2 = float(np.mean(final_result_procrustes))
+    per_action = {a: (float(p1), float(p2)) for a, p1, p2 in
+                  zip(action_names, final_result, final_result_procrustes)}
+    return e1, e2, per_action
+
+
+def train_with_config(args, opts):
+    """Epoch driver (parity: reference train.py:208-377).
+
+    opts: namespace with checkpoint, pretrained, resume, evaluate,
+    selection, seed. args: the YAML config.
+    """
+    import numpy as np
+
+    from motionbert_tpu.core.cache import enable_compilation_cache
+    from motionbert_tpu.core.checkpoint import (
+        CheckpointManager, load_checkpoint, load_torch_checkpoint)
+    from motionbert_tpu.core.logging import MetricsWriter
+    from motionbert_tpu.core.metrics import AverageMeter
+    from motionbert_tpu.data.datasets import (
+        BatchLoader, InstaVDataset2D, MotionDataset3D, PoseTrackDataset2D)
+    from motionbert_tpu.data.readers import DataReaderH36M
+    from motionbert_tpu.models.factory import load_backbone
+    from motionbert_tpu.parallel import make_mesh, shard_batch, shard_params
+    from motionbert_tpu.train.state import TrainState, make_adamw
+
+    enable_compilation_cache()
+    os.makedirs(opts.checkpoint, exist_ok=True)
+    writer = MetricsWriter(os.path.join(opts.checkpoint, "logs"))
+
+    print("Loading dataset...")
+    train_dataset = MotionDataset3D(args, args.subset_list, "train")
+    test_dataset = MotionDataset3D(args, args.subset_list, "test")
+    mesh = make_mesh()
+    n_dev = mesh.shape["data"]
+    batch_size = args.batch_size
+    assert batch_size % n_dev == 0, (
+        f"batch_size {batch_size} must divide over {n_dev} devices")
+    train_loader = BatchLoader(train_dataset, batch_size, shuffle=True,
+                               drop_last=True, seed=opts.seed)
+    test_loader = BatchLoader(test_dataset, batch_size, shuffle=False)
+
+    loaders_2d = []
+    if args.get("train_2d", False):
+        for ds_cls in (PoseTrackDataset2D, InstaVDataset2D):
+            try:
+                ds = ds_cls()
+                loaders_2d.append(
+                    (ds_cls.__name__,
+                     BatchLoader(ds, batch_size, shuffle=True, drop_last=True,
+                                 seed=opts.seed),
+                     ds_cls is PoseTrackDataset2D))  # has_gt
+            except FileNotFoundError as e:
+                print(f"WARNING: 2D dataset {ds_cls.__name__} unavailable "
+                      f"({e}); skipping")
+
+    datareader = DataReaderH36M(
+        n_frames=args.clip_len, sample_stride=args.sample_stride,
+        data_stride_train=args.data_stride, data_stride_test=args.clip_len,
+        dt_root=args.get("dt_root", "data/motion3d"), dt_file=args.dt_file)
+
+    model = load_backbone(args, attn_impl=args.get("attn_impl", "pallas"))
+    rng = jax.random.PRNGKey(opts.seed)
+    rng, init_rng = jax.random.split(rng)
+    params = model.init(
+        init_rng, jnp.zeros((1, args.clip_len, args.num_joints, 3)))["params"]
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    print("INFO: Trainable parameter count:", n_params)
+
+    ckpt_mgr = CheckpointManager(opts.checkpoint,
+                                 args.get("checkpoint_frequency", 1))
+    min_loss = 1e5
+    lr = args.learning_rate
+    st = 0
+    resume_payload = None
+
+    def load_params_file(path):
+        if path.endswith(".bin") or path.endswith(".pth"):
+            return load_torch_checkpoint(path)["params"]
+        return load_checkpoint(path)["params"]
+
+    if args.get("finetune", False):
+        chk = opts.evaluate or opts.resume or os.path.join(
+            opts.pretrained, opts.selection)
+        print("Loading checkpoint", chk)
+        params = load_params_file(chk)  # strict (train.py:265)
+    else:
+        if ckpt_mgr.has_latest() and not opts.resume and not opts.evaluate:
+            opts.resume = ckpt_mgr.latest_path
+        chk = opts.evaluate or opts.resume
+        if chk:
+            print("Loading checkpoint", chk)
+            if chk.endswith(".bin") or chk.endswith(".pth"):
+                params = load_torch_checkpoint(chk)["params"]
+            else:
+                resume_payload = load_checkpoint(chk)
+                params = resume_payload["params"]
+
+    params = shard_params(params, mesh)
+
+    if opts.evaluate:
+        e1, e2, _, per_action = evaluate(args, model, params, test_loader,
+                                         datareader, return_results=True)
+        _print_eval_table(per_action, e1, e2)
+        return {"e1": e1, "e2": e2}
+
+    tx = make_adamw(lr, args.weight_decay)
+    state = TrainState.create(model.apply, params, tx)
+    if resume_payload is not None:
+        st = resume_payload["epoch"]
+        if resume_payload.get("opt_state") is not None:
+            state = state.replace(opt_state=jax.tree_util.tree_map(
+                jnp.asarray, resume_payload["opt_state"]))
+        lr = resume_payload.get("lr", lr)
+        state = state.set_lr(lr)
+        if resume_payload.get("best_metric") is not None:
+            min_loss = resume_payload["best_metric"]
+
+    use_mask = args.get("mask_ratio", 0) > 0 and args.get("mask_T_ratio", 0) > 0
+    use_noise = bool(args.get("noise", False))
+    noise_params = None
+    if use_mask or use_noise:
+        from motionbert_tpu.data.augment import NoiseParams
+
+        noise_params = NoiseParams.load(
+            args.get("noise_path", "params/synthetic_noise.npz"),
+            args.get("d2c_params_path", "params/d2c_params.pkl"))
+
+    # detector-input 3D training flips on device; synthetic/gt_2d clips are
+    # built from (already augmented) 3D in the loader, so no device flip
+    flip_aug = bool(args.get("flip", False)) and not (
+        args.get("synthetic", False) or args.get("gt_2d", False))
+    train_step = make_train_step(
+        model, {k: args.get(k, 0.0) for k in
+                ("lambda_scale", "lambda_3d_velocity", "lambda_lv",
+                 "lambda_lg", "lambda_a", "lambda_av")},
+        rootrel=args.get("rootrel", False),
+        no_conf=args.get("no_conf", False),
+        use_mask=use_mask, use_noise=use_noise, noise_params=noise_params,
+        mask_ratio=args.get("mask_ratio", 0.0),
+        mask_T_ratio=args.get("mask_T_ratio", 0.0), flip_aug=flip_aug)
+
+    def run_epoch(state, rng, loader, losses, has_3d, has_gt):
+        for batch_input, batch_gt in loader:
+            rng, sub = jax.random.split(rng)
+            bi, bg = shard_batch(
+                (jnp.asarray(batch_input), jnp.asarray(batch_gt)), mesh)
+            state, terms = train_step(state, bi, bg, sub,
+                                      has_3d=has_3d, has_gt=has_gt)
+            for k, val in terms.items():
+                losses.setdefault(k, AverageMeter()).update(
+                    float(val), len(batch_input))
+        return state, rng
+
+    for epoch in range(st, args.epochs):
+        print(f"Training epoch {epoch}.")
+        start = time.time()
+        losses: dict = {}
+        # curriculum: 2D datasets join after pretrain_3d_curriculum epochs
+        if loaders_2d and epoch >= args.get("pretrain_3d_curriculum", 0):
+            for name, loader2d, has_gt in loaders_2d:
+                state, rng = run_epoch(state, rng, loader2d, losses,
+                                       has_3d=False, has_gt=has_gt)
+        state, rng = run_epoch(state, rng, train_loader, losses,
+                               has_3d=True, has_gt=True)
+        elapsed = (time.time() - start) / 60.0
+
+        if args.get("no_eval", False):
+            print(f"[{epoch + 1}] time {elapsed:.2f} lr {lr:f} "
+                  f"3d_train {losses['3d_pos'].avg:f}")
+            e1 = min_loss  # no metric this epoch
+            improved = False
+        else:
+            e1, e2, _, per_action = evaluate(
+                args, model, state.params, test_loader, datareader,
+                return_results=True)
+            _print_eval_table(per_action, e1, e2)
+            print(f"[{epoch + 1}] time {elapsed:.2f} lr {lr:f} "
+                  f"3d_train {losses['3d_pos'].avg:f} e1 {e1:f} e2 {e2:f}")
+            writer.add_scalar("Error P1", e1, epoch + 1)
+            writer.add_scalar("Error P2", e2, epoch + 1)
+            improved = e1 < min_loss
+            min_loss = min(e1, min_loss)
+        for k, meter in losses.items():
+            writer.add_scalar(f"loss_{k}", meter.avg, epoch + 1)
+
+        # exponential per-epoch LR decay (train.py:359-362)
+        lr *= args.lr_decay
+        state = state.scale_lr(args.lr_decay)
+
+        ckpt_mgr.save_epoch(epoch, lr, state.params, state.opt_state,
+                            best_metric=min_loss, improved=improved)
+    writer.close()
+    return {"e1": min_loss}
+
+
+def _print_eval_table(per_action, e1, e2):
+    names = list(per_action)
+    w = max([len(n) for n in names] + [8])
+    print(" ".join(["test_name".ljust(w)] + [n.ljust(w) for n in names]))
+    print(" ".join(["P1".ljust(w)] +
+                   [f"{per_action[n][0]:.2f}".ljust(w) for n in names]))
+    print(" ".join(["P2".ljust(w)] +
+                   [f"{per_action[n][1]:.2f}".ljust(w) for n in names]))
+    print("Protocol #1 Error (MPJPE):", e1, "mm")
+    print("Protocol #2 Error (P-MPJPE):", e2, "mm")
+    print("----------")

@@ -209,9 +209,45 @@ def golden_losses():
     print("loss goldens written")
 
 
+def golden_datareader():
+    """Run the reference DataReaderH36M on our synthetic pickle and record
+    sliced/denormalized outputs (tests our vectorized reader end to end)."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, repo)
+    from tools.make_synthetic_data import make_h36m_pickle
+
+    dt_root = os.path.join(OUT, "_tmp_dr")
+    os.makedirs(dt_root, exist_ok=True)
+    make_h36m_pickle(os.path.join(dt_root, "h36m_synth.pkl"))
+
+    from lib.data.datareader_h36m import DataReaderH36M
+
+    np.random.seed(21)
+    reader = DataReaderH36M(
+        n_frames=16, sample_stride=1, data_stride_train=8,
+        data_stride_test=16, dt_root=dt_root, dt_file="h36m_synth.pkl")
+    train_data, test_data, train_labels, test_labels = reader.get_sliced_data()
+    rs = np.random.RandomState(33)
+    fake_results = rs.normal(size=test_data.shape).astype(np.float32)
+    denorm = reader.denormalize(fake_results.copy())
+    np.savez_compressed(
+        os.path.join(OUT, "datareader.npz"),
+        train_data=train_data, test_data=test_data,
+        train_labels=train_labels, test_labels=test_labels,
+        fake_results=fake_results, denorm=denorm,
+        test_hw=reader.get_hw(),
+        split_test=np.stack([np.asarray(list(c))
+                             for c in reader.get_split_id()[1]]),
+    )
+    import shutil
+    shutil.rmtree(dt_root)
+    print("datareader goldens written")
+
+
 if __name__ == "__main__":
     golden_dstformer()
     golden_geometry()
     golden_rotations()
     golden_losses()
+    golden_datareader()
     print("all goldens written to", OUT)
