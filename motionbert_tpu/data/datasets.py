@@ -159,25 +159,29 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 8, drop_last: bool = False,
-                 seed: int = 0, prefetch: int = 4):
+                 seed: int = 0, prefetch: int = 4, sampler=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.sampler = sampler  # iterable of indices (overrides shuffle)
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _batches(self):
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            self.rng.shuffle(idx)
+        if self.sampler is not None:
+            idx = np.fromiter(iter(self.sampler), dtype=np.int64)
+        else:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                self.rng.shuffle(idx)
         for i in range(0, len(idx), self.batch_size):
             b = idx[i:i + self.batch_size]
             if self.drop_last and len(b) < self.batch_size:

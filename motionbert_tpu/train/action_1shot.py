@@ -1,0 +1,192 @@
+"""One-shot action recognition: SupCon training on NTU120 auxiliary classes,
+1-NN cosine evaluation against 20 anchor exemplars.
+
+Behavioral parity target: /root/reference/train_action_1shot.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from motionbert_tpu.losses.supcon import supcon_loss
+from motionbert_tpu.train.state import TrainState
+
+
+def make_supcon_train_step(model, n_views: int, hidden_dim: int,
+                           temperature: float):
+    @functools.partial(jax.jit, donate_argnames=("state",))
+    def train_step(state: TrainState, batch_input, batch_gt, rng):
+        def loss_fn(params):
+            feat = state.apply_fn({"params": params}, batch_input,
+                                  deterministic=False,
+                                  rngs={"dropout": rng})
+            # (bsz, n_views?, hidden): the reference reshapes the flat batch
+            # (train_action_1shot.py:193); with an MPerClassSampler each
+            # group of n_views consecutive?? — it reshapes (batch, -1, dim),
+            # i.e. one view per row, bsz = batch. We follow that exactly.
+            feat = feat.reshape(batch_input.shape[0], -1, hidden_dim)
+            return supcon_loss(feat, labels=batch_gt,
+                               temperature=temperature,
+                               base_temperature=temperature)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, loss
+
+    return train_step
+
+
+def extract_feats(loader, model, params):
+    import numpy as np
+
+    @jax.jit
+    def embed(params, x):
+        return model.apply({"params": params}, x, deterministic=True)
+
+    feats, gts = [], []
+    full_bs = None
+    for batch_input, batch_gt in loader:
+        n = batch_input.shape[0]
+        full_bs = full_bs or n
+        if n < full_bs:
+            batch_input = np.concatenate(
+                [batch_input, np.repeat(batch_input[-1:], full_bs - n, 0)])
+        feats.append(np.asarray(embed(params, jnp.asarray(batch_input)))[:n])
+        gts.append(np.asarray(batch_gt))
+    return np.concatenate(feats), np.concatenate(gts)
+
+
+def validate_1shot(anchor_loader, test_loader, model, params):
+    """1-NN cosine-similarity matching (train_action_1shot.py:58-69)."""
+    import numpy as np
+
+    train_feats, train_labels = extract_feats(anchor_loader, model, params)
+    test_feats, test_labels = extract_feats(test_loader, model, params)
+
+    def _norm(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
+                              1e-12)
+
+    sim = _norm(train_feats) @ _norm(test_feats).T  # (M, N)
+    pred = train_labels[sim.argmax(axis=0)]
+    return float((pred == test_labels).mean())
+
+
+def train_with_config(args, opts):
+    import numpy as np
+
+    from motionbert_tpu.core.cache import enable_compilation_cache
+    from motionbert_tpu.core.checkpoint import (
+        CheckpointManager, load_checkpoint, load_torch_checkpoint,
+        load_pretrained_params)
+    from motionbert_tpu.core.logging import MetricsWriter
+    from motionbert_tpu.core.metrics import AverageMeter
+    from motionbert_tpu.data.dataset_action import (
+        MPerClassSampler, NTURGBD, NTURGBD1Shot)
+    from motionbert_tpu.data.datasets import BatchLoader
+    from motionbert_tpu.train.action import (
+        build_action_model, make_two_group_adamw)
+
+    enable_compilation_cache()
+    os.makedirs(opts.checkpoint, exist_ok=True)
+    writer = MetricsWriter(os.path.join(opts.checkpoint, "logs"))
+
+    args.model_version = "embed"
+    model = build_action_model(args)
+    rng = jax.random.PRNGKey(getattr(opts, "seed", 0))
+    rng, init_rng = jax.random.split(rng)
+    params = model.init(
+        init_rng,
+        jnp.zeros((1, 2, args.clip_len, args.num_joints, 3)))["params"]
+
+    if args.get("finetune", False) and not (opts.resume or opts.evaluate):
+        chk = os.path.join(opts.pretrained, opts.selection)
+        print("Loading backbone", chk)
+        if chk.endswith(".bin") or chk.endswith(".pth"):
+            ckpt_params = load_torch_checkpoint(chk)["params"]
+        else:
+            ckpt_params = load_checkpoint(chk)["params"]
+        new_backbone, matched, _ = load_pretrained_params(
+            params["backbone"], ckpt_params)
+        print("load_weight", len(matched))
+        params = dict(params, backbone=new_backbone)
+
+    oneshot_path = args.get("data_path_1shot",
+                            "data/action/ntu120_hrnet_oneshot.pkl")
+    anchor_set = NTURGBD(data_path=oneshot_path, data_split="oneshot_train",
+                         n_frames=args.clip_len, random_move=False,
+                         scale_range=args.scale_range_test)
+    test_set = NTURGBD(data_path=oneshot_path, data_split="oneshot_val",
+                       n_frames=args.clip_len, random_move=False,
+                       scale_range=args.scale_range_test)
+    anchor_loader = BatchLoader(anchor_set, args.batch_size)
+    test_loader = BatchLoader(test_set, args.batch_size)
+
+    ckpt_mgr = CheckpointManager(opts.checkpoint,
+                                 args.get("checkpoint_frequency", 1))
+    best_acc = 0.0
+    st = 0
+    resume_payload = None
+    if ckpt_mgr.has_latest() and not opts.resume and not opts.evaluate:
+        opts.resume = ckpt_mgr.latest_path
+    if opts.resume or opts.evaluate:
+        chk = opts.evaluate or opts.resume
+        print("Loading checkpoint", chk)
+        resume_payload = load_checkpoint(chk)
+        params = resume_payload["params"]
+
+    if opts.evaluate:
+        acc = validate_1shot(anchor_loader, test_loader, model, params)
+        print("one-shot 1-NN acc:", acc)
+        return {"acc": acc}
+
+    train_path = args.get("data_path", "data/action/ntu120_hrnet.pkl")
+    train_set = NTURGBD1Shot(data_path=train_path, data_split="",
+                             n_frames=args.clip_len,
+                             random_move=args.get("random_move", True),
+                             scale_range=args.scale_range_train,
+                             check_split=False)
+    sampler = MPerClassSampler(train_set.labels, m=args.n_views,
+                               batch_size=args.batch_size,
+                               length=len(train_set))
+    train_loader = BatchLoader(train_set, args.batch_size, sampler=sampler,
+                               drop_last=True)
+
+    tx = make_two_group_adamw(args.lr_backbone, args.lr_head,
+                              args.weight_decay)
+    state = TrainState.create(model.apply, params, tx)
+    if resume_payload is not None:
+        st = resume_payload["epoch"]
+        if resume_payload.get("opt_state") is not None:
+            state = state.replace(opt_state=jax.tree_util.tree_map(
+                jnp.asarray, resume_payload["opt_state"]))
+        best_acc = resume_payload.get("best_metric") or 0.0
+
+    train_step = make_supcon_train_step(model, args.n_views,
+                                        args.get("hidden_dim", 2048),
+                                        args.get("temp", 0.1))
+    print(f"INFO: Training on {len(train_loader)} batches")
+    for epoch in range(st, args.epochs):
+        print(f"Training epoch {epoch}.")
+        losses = AverageMeter()
+        for batch_input, batch_gt in train_loader:
+            rng, sub = jax.random.split(rng)
+            state, loss = train_step(state, jnp.asarray(batch_input),
+                                     jnp.asarray(batch_gt), sub)
+            losses.update(float(loss), len(batch_input))
+        acc = validate_1shot(anchor_loader, test_loader, model, state.params)
+        print(f"[{epoch + 1}] supcon {losses.avg:.4f} 1nn_acc {acc:.4f}")
+        writer.add_scalar("train_loss_supcon", losses.avg, epoch + 1)
+        writer.add_scalar("test_top1", acc, epoch + 1)
+        state = state.scale_lr(args.lr_decay)
+        improved = acc > best_acc
+        best_acc = max(best_acc, acc)
+        ckpt_mgr.save_epoch(epoch, float(state.lr or 0), state.params,
+                            state.opt_state, best_metric=best_acc,
+                            improved=improved)
+    writer.close()
+    return {"acc": best_acc}

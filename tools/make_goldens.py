@@ -244,10 +244,52 @@ def golden_datareader():
     print("datareader goldens written")
 
 
+def golden_action_dataset():
+    """Reference NTURGBD pipeline on our synthetic pyskl pickle."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, repo)
+    from tools.make_synthetic_data import make_action_pickle
+
+    tmp = os.path.join(OUT, "_tmp_act")
+    os.makedirs(tmp, exist_ok=True)
+    pkl = os.path.join(tmp, "ntu_synth.pkl")
+    make_action_pickle(pkl)
+
+    from lib.data.dataset_action import NTURGBD
+
+    # val split: deterministic resample (randomness=False), no random_move;
+    # scale_range [2,2] makes crop_scale's ratio draw constant.
+    ds = NTURGBD(data_path=pkl, data_split="xsub_val", n_frames=24,
+                 random_move=False, scale_range=[2, 2])
+    motions = np.stack([ds[i][0] for i in range(len(ds))])
+    labels = np.array([ds[i][1] for i in range(len(ds))])
+    np.savez_compressed(os.path.join(OUT, "action_dataset.npz"),
+                        motions=motions, labels=labels)
+    import shutil
+    shutil.rmtree(tmp)
+    print("action dataset goldens written")
+
+
+def golden_supcon():
+    from lib.model.loss_supcon import SupConLoss
+
+    rs = np.random.RandomState(17)
+    feats = rs.normal(size=(8, 2, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    labels = rs.randint(0, 3, 8)
+    loss = SupConLoss(temperature=0.1, base_temperature=0.1)(
+        torch.from_numpy(feats), torch.from_numpy(labels))
+    np.savez_compressed(os.path.join(OUT, "supcon.npz"), feats=feats,
+                        labels=labels, loss=loss.numpy())
+    print("supcon goldens written")
+
+
 if __name__ == "__main__":
     golden_dstformer()
     golden_geometry()
     golden_rotations()
     golden_losses()
     golden_datareader()
+    golden_action_dataset()
+    golden_supcon()
     print("all goldens written to", OUT)

@@ -1,0 +1,40 @@
+"""One-shot skeleton action recognition entry point
+(CLI parity: /root/reference/train_action_1shot.py:32-42)."""
+
+import argparse
+import random
+
+import numpy as np
+
+from motionbert_tpu.core.config import get_config
+from motionbert_tpu.train.action_1shot import train_with_config
+
+random.seed(0)
+np.random.seed(0)
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str,
+                        default="configs/action/MB_train_NTU120_oneshot.yaml",
+                        help="Path to the config file.")
+    parser.add_argument("-c", "--checkpoint", default="checkpoint", type=str,
+                        metavar="PATH", help="checkpoint directory")
+    parser.add_argument("-p", "--pretrained", default="checkpoint", type=str,
+                        metavar="PATH", help="pretrained checkpoint directory")
+    parser.add_argument("-r", "--resume", default="", type=str,
+                        metavar="FILENAME", help="checkpoint to resume")
+    parser.add_argument("-e", "--evaluate", default="", type=str,
+                        metavar="FILENAME", help="checkpoint to evaluate")
+    parser.add_argument("-freq", "--print_freq", default=100)
+    parser.add_argument("-ms", "--selection", default="best_epoch.ckpt",
+                        type=str, metavar="FILENAME",
+                        help="checkpoint to finetune")
+    parser.add_argument("-sd", "--seed", default=0, type=int)
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    opts = parse_args()
+    args = get_config(opts.config)
+    train_with_config(args, opts)
