@@ -1,0 +1,94 @@
+"""Mesh recovery datasets: 2D clips + on-the-fly SMPL ground-truth synthesis.
+
+Behavioral parity target: /root/reference/lib/data/dataset_mesh.py. Per
+clip: normalized 2D detections + GT SMPL pose/shape; the GT vertices and
+regressed 17 joints are synthesized by the (host-side numpy) SMPL forward,
+root-relative, in mm. Train-time flip augments the 2D and the SMPL thetas
+jointly (flip_data + flip_thetas).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from motionbert_tpu.data.readers import DataReaderH36M, DataReaderMesh
+from motionbert_tpu.geometry.rotations import flip_thetas_np
+from motionbert_tpu.geometry.skeleton import flip_data
+from motionbert_tpu.models.smpl import SMPLModel, smpl_forward_np
+
+
+class SMPLDataset:
+    def __init__(self, args, data_split: str, dataset: str,
+                 smpl_model: SMPLModel):
+        np.random.seed(0)
+        self.clip_len = args.clip_len
+        self.data_split = data_split
+        self.smpl = smpl_model
+        if dataset == "h36m":
+            datareader = DataReaderH36M(
+                n_frames=self.clip_len, sample_stride=args.sample_stride,
+                data_stride_train=args.data_stride,
+                data_stride_test=self.clip_len, dt_root=args.data_root,
+                dt_file=args.dt_file_h36m)
+        elif dataset == "coco":
+            datareader = DataReaderMesh(
+                n_frames=1, sample_stride=args.sample_stride,
+                data_stride_train=1, data_stride_test=1,
+                dt_root=args.data_root, dt_file=args.dt_file_coco,
+                res=(640, 640))
+        elif dataset == "pw3d":
+            datareader = DataReaderMesh(
+                n_frames=self.clip_len, sample_stride=args.sample_stride,
+                data_stride_train=args.data_stride,
+                data_stride_test=self.clip_len, dt_root=args.data_root,
+                dt_file=args.dt_file_pw3d, res=(1920, 1920))
+        else:
+            raise ValueError(f"Mesh dataset undefined: {dataset}")
+
+        split_train, split_test = datareader.get_split_id()
+        train_data, test_data = datareader.read_2d()
+        self.motion_2d = {"train": train_data[split_train],
+                          "test": test_data[split_test]}[data_split]
+        dt = datareader.dt_dataset
+        split = {"train": split_train, "test": split_test}[data_split]
+        key = {"train": "train", "test": "test"}[data_split]
+        self.motion_smpl_3d = {
+            "pose": dt[key]["smpl_pose"][split],
+            "shape": dt[key]["smpl_shape"][split],
+        }
+
+    def __len__(self):
+        return len(self.motion_2d)
+
+    def __getitem__(self, index):
+        raise NotImplementedError
+
+
+class MotionSMPL(SMPLDataset):
+    def __init__(self, args, data_split, dataset, smpl_model):
+        super().__init__(args, data_split, dataset, smpl_model)
+        self.flip = bool(args.get("flip", False))
+        self.rng = np.random.RandomState(0)
+
+    def __getitem__(self, index):
+        motion_2d = self.motion_2d[index].copy()  # (T, 17, 3)
+        motion_2d[:, :, 2] = np.clip(motion_2d[:, :, 2], 0, 1)
+        pose = self.motion_smpl_3d["pose"][index].reshape(-1, 24, 3)
+        shape = self.motion_smpl_3d["shape"][index].reshape(-1, 10)
+
+        if self.data_split == "train" and self.flip and \
+                self.rng.random() > 0.5:
+            motion_2d = flip_data(motion_2d)
+            pose = flip_thetas_np(pose)
+
+        out = smpl_forward_np(self.smpl, shape.astype(np.float32),
+                              pose.reshape(-1, 72).astype(np.float32))
+        verts = out["vertices"] * 1000.0  # mm
+        kp = np.einsum("jv,bvc->bjc", self.smpl.J_regressor_h36m, verts)
+        verts = verts - kp[:, :1, :]
+        kp = kp - kp[:, :1, :]
+        theta = np.concatenate(
+            [pose.reshape(-1, 72), shape], axis=-1).astype(np.float32)
+        return motion_2d.astype(np.float32), {
+            "theta": theta, "kp_3d": kp.astype(np.float32),
+            "verts": verts.astype(np.float32)}

@@ -149,6 +149,18 @@ class InstaVDataset2D:
         return m, m
 
 
+def _collate(items):
+    """Stack a list of samples into batched arrays; recurses into
+    tuples and dicts (torch default_collate semantics)."""
+    first = items[0]
+    if isinstance(first, tuple):
+        return tuple(_collate([it[c] for it in items])
+                     for c in range(len(first)))
+    if isinstance(first, dict):
+        return {k: _collate([it[k] for it in items]) for k in first}
+    return np.stack(items)
+
+
 class BatchLoader:
     """Shuffling, batching, background-prefetching loader.
 
@@ -199,12 +211,7 @@ class BatchLoader:
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__, b))
-                        cols = tuple(
-                            np.stack([it[c] for it in items])
-                            if isinstance(items[0], tuple) else np.stack(items)
-                            for c in range(len(items[0]))
-                        ) if isinstance(items[0], tuple) else np.stack(items)
-                        q.put(cols)
+                        q.put(_collate(items))
                 finally:
                     q.put(None)
 

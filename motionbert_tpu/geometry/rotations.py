@@ -122,19 +122,27 @@ def rotmat_to_quaternion(rotmat, eps=1e-6):
 
 
 def quaternion_to_angle_axis(quaternion):
-    """Quaternion (..., 4) -> axis-angle (..., 3) (ceres-style, branch-free)."""
+    """Quaternion (..., 4) -> axis-angle (..., 3) (ceres-style, branch-free).
+
+    Uses the double-where pattern so the identity-rotation branch has clean
+    gradients (a bare where(sin_sq>0, t/sin, 2) produces 0*inf = NaN in the
+    backward pass exactly at identity, which the SMPL head hits at init).
+    """
     q1 = quaternion[..., 1]
     q2 = quaternion[..., 2]
     q3 = quaternion[..., 3]
     sin_sq = q1 * q1 + q2 * q2 + q3 * q3
-    sin_theta = jnp.sqrt(jnp.maximum(sin_sq, 1e-30))
+    positive = sin_sq > 0.0
+    sin_sq_safe = jnp.where(positive, sin_sq, 1.0)
+    sin_theta = jnp.sqrt(sin_sq_safe)
     cos_theta = quaternion[..., 0]
     two_theta = 2.0 * jnp.where(
         cos_theta < 0.0,
         jnp.arctan2(-sin_theta, -cos_theta),
         jnp.arctan2(sin_theta, cos_theta),
     )
-    k = jnp.where(sin_sq > 0.0, two_theta / sin_theta, 2.0 * jnp.ones_like(sin_theta))
+    k = jnp.where(positive, two_theta / sin_theta,
+                  2.0 * jnp.ones_like(sin_theta))
     return jnp.stack([q1 * k, q2 * k, q3 * k], axis=-1)
 
 
@@ -155,3 +163,10 @@ def flip_thetas(thetas):
     """
     flipped = jnp.concatenate([thetas[..., :1], -thetas[..., 1:]], axis=-1)
     return flipped[..., jnp.asarray(SMPL_FLIP_PERM), :]
+
+
+def flip_thetas_np(thetas):
+    """Numpy twin of flip_thetas for host-side data augmentation."""
+    thetas = np.asarray(thetas)
+    flipped = np.concatenate([thetas[..., :1], -thetas[..., 1:]], axis=-1)
+    return flipped[..., SMPL_FLIP_PERM, :]

@@ -18,16 +18,28 @@ _LIMBS = np.asarray(H36M_LIMBS)          # (16, 2)
 _ANGLES = np.asarray(H36M_ANGLE_PAIRS)   # (18, 2)
 
 
+def safe_norm(x, axis=-1):
+    """L2 norm with a zero (sub)gradient at 0.
+
+    jnp.linalg.norm has a NaN gradient at exactly 0; torch.norm returns 0
+    there. Root-relative pose losses hit this on the root joint every step,
+    so the torch subgradient semantics matter (values are identical).
+    """
+    sq = jnp.sum(x * x, axis=axis)
+    positive = sq > 0
+    return jnp.where(positive, jnp.sqrt(jnp.where(positive, sq, 1.0)), 0.0)
+
+
 def loss_mpjpe(predicted, target):
     """Mean per-joint position error (Protocol-1 as a training loss)."""
     assert predicted.shape == target.shape
-    return jnp.mean(jnp.linalg.norm(predicted - target, axis=-1))
+    return jnp.mean(safe_norm(predicted - target))
 
 
 def weighted_mpjpe(predicted, target, w):
     """Per-sample weighted MPJPE; w broadcasts over (N, ...)."""
     assert predicted.shape == target.shape
-    return jnp.mean(w * jnp.linalg.norm(predicted - target, axis=-1))
+    return jnp.mean(w * safe_norm(predicted - target))
 
 
 def loss_2d_weighted(predicted, target, conf):
@@ -37,7 +49,7 @@ def loss_2d_weighted(predicted, target, conf):
     Parity: reference loss.py:72-77 (weight the diff, then L2 over xy).
     """
     diff = (predicted[..., :2] - target[..., :2]) * conf
-    return jnp.mean(jnp.linalg.norm(diff, axis=-1))
+    return jnp.mean(safe_norm(diff))
 
 
 def n_mpjpe(predicted, target):
@@ -58,14 +70,14 @@ def loss_velocity(predicted, target):
         return jnp.asarray(0.0, predicted.dtype)
     vel_p = predicted[:, 1:] - predicted[:, :-1]
     vel_t = target[:, 1:] - target[:, :-1]
-    return jnp.mean(jnp.linalg.norm(vel_p - vel_t, axis=-1))
+    return jnp.mean(safe_norm(vel_p - vel_t))
 
 
 def get_limb_lens(x):
     """(N, T, 17, 3) -> (N, T, 16) limb lengths."""
     limbs = x[:, :, _LIMBS, :]
     limbs = limbs[:, :, :, 0, :] - limbs[:, :, :, 1, :]
-    return jnp.linalg.norm(limbs, axis=-1)
+    return safe_norm(limbs)
 
 
 def loss_limb_var(x):
@@ -92,8 +104,8 @@ def get_angles(x):
     pairs = limbs[:, :, _ANGLES, :]            # (N, T, 18, 2, 3)
     a, b = pairs[:, :, :, 0, :], pairs[:, :, :, 1, :]
     # cosine similarity with torch's eps semantics (norms clamped at 1e-8)
-    na = jnp.maximum(jnp.linalg.norm(a, axis=-1), 1e-8)
-    nb = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-8)
+    na = jnp.maximum(safe_norm(a), 1e-8)
+    nb = jnp.maximum(safe_norm(b), 1e-8)
     cos = jnp.sum(a * b, axis=-1) / (na * nb)
     return jnp.arccos(jnp.clip(cos, -1 + eps, 1 - eps))
 

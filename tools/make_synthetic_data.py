@@ -184,6 +184,9 @@ def make_all(root):
     make_wild_json(os.path.join(root, "wild", "alphapose_results.json"))
     make_action_pickle(os.path.join(root, "action", "ntu_synth.pkl"))
     make_mesh_pickle(os.path.join(root, "mesh", "mesh_synth.pkl"))
+    from tools.convert_smpl import make_synthetic_npz
+
+    make_synthetic_npz(os.path.join(root, "mesh", "smpl_model.npz"))
     print("synthetic data written under", root)
 
 

@@ -1,0 +1,44 @@
+"""Human mesh recovery entry point
+(CLI parity: /root/reference/train_mesh.py:31-44)."""
+
+import argparse
+import random
+
+import numpy as np
+
+from motionbert_tpu.core.config import get_config
+from motionbert_tpu.train.mesh import train_with_config
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str,
+                        default="configs/mesh/MB_train_h36m.yaml",
+                        help="Path to the config file.")
+    parser.add_argument("-c", "--checkpoint", default="checkpoint", type=str,
+                        metavar="PATH", help="checkpoint directory")
+    parser.add_argument("-p", "--pretrained", default="checkpoint", type=str,
+                        metavar="PATH", help="pretrained checkpoint directory")
+    parser.add_argument("-r", "--resume", default="", type=str,
+                        metavar="FILENAME", help="checkpoint to resume")
+    parser.add_argument("-e", "--evaluate", default="", type=str,
+                        metavar="FILENAME", help="checkpoint to evaluate")
+    parser.add_argument("-freq", "--print_freq", default=100)
+    parser.add_argument("-ms", "--selection", default="latest_epoch.ckpt",
+                        type=str, metavar="FILENAME",
+                        help="checkpoint to finetune")
+    parser.add_argument("-sd", "--seed", default=0, type=int,
+                        help="random seed")
+    return parser.parse_args()
+
+
+def set_random_seed(seed):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+if __name__ == "__main__":
+    opts = parse_args()
+    set_random_seed(opts.seed)
+    args = get_config(opts.config)
+    train_with_config(args, opts)
