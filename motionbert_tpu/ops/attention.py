@@ -81,9 +81,9 @@ def _attention_xla(q, k, v, num_heads, scale, mode):
 
 def _temporal_kernel(num_heads, scale, q_ref, k_ref, v_ref, o_ref):
     """One (b, j) slice: per-head attention over F frames."""
-    qb = q_ref[0, 0]  # (F, C)
-    kb = k_ref[0, 0]
-    vb = v_ref[0, 0]
+    qb = q_ref[0]  # (F, C)
+    kb = k_ref[0]
+    vb = v_ref[0]
     C = qb.shape[-1]
     d = C // num_heads
     for h in range(num_heads):
@@ -94,7 +94,7 @@ def _temporal_kernel(num_heads, scale, q_ref, k_ref, v_ref, o_ref):
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, 0, :, sl] = jax.lax.dot_general(
+        o_ref[0, :, sl] = jax.lax.dot_general(
             p.astype(qb.dtype), vb[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
@@ -104,21 +104,22 @@ def _temporal_pallas(q, k, v, num_heads, scale):
     from jax.experimental.pallas import tpu as pltpu
 
     B, F, J, C = q.shape
-    # (B, J, F, C): F and C become the tiled dims (block == array dims there);
-    # the transpose is one XLA relayout per operand, ~100x cheaper than the
-    # padded score materialization it replaces.
-    qt, kt, vt = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
-    spec = pl.BlockSpec((1, 1, F, C), lambda b, j: (b, j, 0, 0),
+    # View as (B, F, J*C) — a free reshape — and block the fused (J*C) axis
+    # at stride C: block (1, F, C) indexed by (b, j) is exactly the
+    # q[b, :, j, :] slice, strided-DMA'd straight out of the natural layout.
+    # No relayout transposes; F and C satisfy the last-two-dims tiling rule.
+    q3, k3, v3 = (x.reshape(B, F, J * C) for x in (q, k, v))
+    spec = pl.BlockSpec((1, F, C), lambda b, j: (b, 0, j),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_temporal_kernel, num_heads, scale),
         grid=(B, J),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, J, F, C), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, F, J * C), q.dtype),
         interpret=not _on_tpu(),
-    )(qt, kt, vt)
-    return jnp.transpose(out, (0, 2, 1, 3))
+    )(q3, k3, v3)
+    return out.reshape(B, F, J, C)
 
 
 def _spatial_kernel(num_heads, scale, num_joints, total_tokens,
