@@ -1,0 +1,89 @@
+"""High-level public API: the reference's advertised integration surface.
+
+The reference README (README.md:44-68) advertises `get_representation(x)`
+as the hook for building new downstream tasks on the pretrained motion
+encoder. This module packages that contract behind one object:
+
+    from motionbert_tpu.api import MotionBERT
+    mb = MotionBERT.from_config("configs/pretrain/MB_release.yaml",
+                                checkpoint="best_epoch.ckpt")   # or torch .bin
+    rep = mb.get_representation(motion_2d)   # (B, F<=243, 17, 3) -> (B, F, 17, 512)
+    pose3d = mb.lift(motion_2d)              # flip-TTA 2D -> 3D lifting
+
+Inputs follow the H36M-17 joint format with channels (x, y, confidence) in
+[-1, 1] normalized coordinates (use geometry.transforms.crop_scale or
+data.dataset_wild.read_input to get there from detector output).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+
+class MotionBERT:
+    def __init__(self, model, params, maxlen: int = 243):
+        self.model = model
+        self.params = params
+        self.maxlen = maxlen
+
+        import jax
+
+        self._rep = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x, return_rep=True))
+
+    @classmethod
+    def from_config(cls, config_path: str,
+                    checkpoint: Optional[str] = None) -> "MotionBERT":
+        import jax
+        import jax.numpy as jnp
+
+        from motionbert_tpu.core.checkpoint import (
+            load_checkpoint, load_torch_checkpoint)
+        from motionbert_tpu.core.config import get_config
+        from motionbert_tpu.models.factory import load_backbone
+
+        args = get_config(config_path)
+        model = load_backbone(args)
+        if checkpoint:
+            if checkpoint.endswith(".bin") or checkpoint.endswith(".pth"):
+                params = load_torch_checkpoint(checkpoint)["params"]
+            else:
+                params = load_checkpoint(checkpoint)["params"]
+        else:
+            params = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, args.maxlen, args.num_joints, 3)))["params"]
+        return cls(model, params, maxlen=args.maxlen)
+
+    def _check(self, x):
+        x = np.asarray(x, np.float32)
+        if x.ndim == 3:
+            x = x[None]
+        assert x.ndim == 4 and x.shape[2] == 17 and x.shape[3] == 3, (
+            f"expected (B, F, 17, 3) H36M-17 motion, got {x.shape}")
+        assert x.shape[1] <= self.maxlen, (
+            f"clip length {x.shape[1]} exceeds maxlen {self.maxlen}; chunk "
+            f"long videos into <= {self.maxlen}-frame windows")
+        return x
+
+    def get_representation(self, x):
+        """(B, F<=maxlen, 17, 3) -> (B, F, 17, dim_rep) motion embedding
+        (reference DSTformer.get_representation, DSTformer.py:360-361)."""
+        import jax.numpy as jnp
+
+        return np.asarray(self._rep(self.params, jnp.asarray(self._check(x))))
+
+    def lift(self, x, flip_tta: bool = True, rootrel: bool = True):
+        """2D keypoints -> 3D pose with optional flip test-time averaging."""
+        import jax.numpy as jnp
+
+        from motionbert_tpu.train.pose3d import make_eval_step
+
+        step = make_eval_step(self.model, no_conf=False, flip_tta=flip_tta)
+        pred = np.array(step(self.params, jnp.asarray(self._check(x))))
+        if rootrel:
+            pred[:, :, 0, :] = 0
+        return pred

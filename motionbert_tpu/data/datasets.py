@@ -204,14 +204,20 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # fast path: datasets with a native batch gather (data.clipstore)
+        get_batch = getattr(self.dataset, "get_batch", None)
+
         def produce():
             with cf.ThreadPoolExecutor(self.num_workers) as pool:
                 try:
                     for b in self._batches():
                         if stop.is_set():
                             return
-                        items = list(pool.map(self.dataset.__getitem__, b))
-                        q.put(_collate(items))
+                        if get_batch is not None:
+                            q.put(get_batch(b))
+                        else:
+                            items = list(pool.map(self.dataset.__getitem__, b))
+                            q.put(_collate(items))
                 finally:
                     q.put(None)
 
