@@ -116,9 +116,10 @@ class CheckpointManager:
         """Write latest (always), epoch_{n} (on frequency), best (if improved).
 
         Matches reference train.py:364-374: epoch_{n} gated on
-        (epoch + 1) % checkpoint_frequency == 0.
+        (epoch + 1) % checkpoint_frequency == 0, and the payload records
+        epoch + 1 — the epoch resume should START from (train.py:49,297).
         """
-        kw = dict(epoch=epoch, lr=lr, params=params, opt_state=opt_state,
+        kw = dict(epoch=epoch + 1, lr=lr, params=params, opt_state=opt_state,
                   extra_vars=extra_vars, best_metric=best_metric, meta=meta)
         save_checkpoint(self.latest_path, **kw)
         if (epoch + 1) % self.frequency == 0:

@@ -81,3 +81,53 @@ def rigid_align(A, B):
     """Return A Procrustes-aligned onto B. A, B: (n, 3)."""
     c, R, t = rigid_transform_3d(A, B)
     return (np.dot(c * R, A.T)).T + t
+
+
+def estimate_translation_np(S, joints_2d, joints_conf, focal_length=5000.0,
+                            img_size=224.0):
+    """Weighted least-squares camera translation bringing 3D joints S onto
+    their 2D detections (parity: reference utils_mesh.py:222-263).
+
+    S: (n, 3); joints_2d: (n, 2); joints_conf: (n,). Returns (3,).
+    """
+    num_joints = S.shape[0]
+    f = np.array([focal_length, focal_length])
+    center = np.array([img_size / 2.0, img_size / 2.0])
+
+    Z = np.reshape(np.tile(S[:, 2], (2, 1)).T, -1)
+    XY = np.reshape(S[:, 0:2], -1)
+    O = np.tile(center, num_joints)
+    F = np.tile(f, num_joints)
+    weight2 = np.reshape(np.tile(np.sqrt(joints_conf), (2, 1)).T, -1)
+
+    Q = np.array([
+        F * np.tile(np.array([1, 0]), num_joints),
+        F * np.tile(np.array([0, 1]), num_joints),
+        O - np.reshape(joints_2d, -1),
+    ]).T
+    c = (np.reshape(joints_2d, -1) - O) * Z - F * XY
+
+    W = np.diagflat(weight2)
+    Q = np.dot(W, Q)
+    c = np.dot(W, c)
+    A = np.dot(Q.T, Q)
+    b = np.dot(Q.T, c)
+    return np.linalg.solve(A, b)
+
+
+def estimate_translation(S, joints_2d, focal_length=5000.0, img_size=224.0):
+    """Batched translation fit using joints 25: (the GT-joint block in the
+    49-joint layout; reference utils_mesh.py:266-291).
+
+    S: (B, 49, 3); joints_2d: (B, 49, 3) with confidence in channel 2.
+    """
+    S = np.asarray(S)[:, 25:, :]
+    joints = np.asarray(joints_2d)[:, 25:, :]
+    conf = joints[:, :, -1]
+    joints = joints[:, :, :-1]
+    trans = np.zeros((S.shape[0], 3), dtype=np.float32)
+    for i in range(S.shape[0]):
+        trans[i] = estimate_translation_np(S[i], joints[i], conf[i],
+                                           focal_length=focal_length,
+                                           img_size=img_size)
+    return trans

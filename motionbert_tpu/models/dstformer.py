@@ -79,15 +79,19 @@ class Mlp(nn.Module):
 
 
 class Attention(nn.Module):
-    """Single-axis attention over joints ("spatial") or frames ("temporal").
+    """Attention over joints ("spatial"), frames ("temporal"), or the legacy
+    variants ("vanilla"/"coupling": all F*J tokens jointly; "series":
+    spatial then temporal re-projecting through the same qkv; "parallel":
+    both axes fused by a learned per-channel gate).
 
     Parity: /root/reference/lib/model/DSTformer.py:88-200. qkv is one fused
-    projection; scale = head_dim ** -0.5 (DSTformer.py:94).
+    projection; scale = head_dim ** -0.5 (DSTformer.py:94). DSTformer's hot
+    path only uses spatial/temporal; the legacy modes run on the XLA path.
     """
 
     dim: int
     num_heads: int
-    mode: str  # "spatial" | "temporal"
+    mode: str  # spatial | temporal | vanilla | coupling | series | parallel
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
@@ -97,23 +101,59 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from motionbert_tpu.ops.attention import coupled_attention
+
         B, F, J, C = x.shape
         H = self.num_heads
         d = C // H
         scale = self.qk_scale if self.qk_scale is not None else d ** -0.5
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=trunc_normal_init(), name="qkv")(x)
-        # Split along the (lane-contiguous) channel axis — the torch layout
-        # packs the 3C output as [q|k|v] each (H, d) (DSTformer.py:113).
-        # Heads are split inside the attention op; activations stay in the
-        # natural (B, F, J, C) layout end to end.
-        q = qkv[..., 0 * C:1 * C]
-        k = qkv[..., 1 * C:2 * C]
-        v = qkv[..., 2 * C:3 * C]
+        qkv_layer = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                             kernel_init=trunc_normal_init(), name="qkv")
 
-        out = st_attention(q, k, v, mode=self.mode, num_heads=H, scale=scale,
-                           impl=self.attn_impl)
+        def split_qkv(y):
+            # Split along the (lane-contiguous) channel axis — the torch
+            # layout packs the 3C output as [q|k|v] each (H, d)
+            # (DSTformer.py:113). Heads split inside the attention op;
+            # activations stay in the natural (B, F, J, C) layout.
+            qkv = qkv_layer(y)
+            return (qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:])
+
+        q, k, v = split_qkv(x)
+        if self.mode in ("spatial", "temporal", "vanilla"):
+            # reference "vanilla" is plain attention over the joint/token
+            # axis (DSTformer.py:134-137 routes it to forward_spatial)
+            mode = "spatial" if self.mode == "vanilla" else self.mode
+            out = st_attention(q, k, v, mode=mode, num_heads=H,
+                               scale=scale, impl=self.attn_impl)
+        elif self.mode == "coupling":
+            out = coupled_attention(q, k, v, num_heads=H, scale=scale)
+        elif self.mode == "series":
+            # spatial, re-project through the same qkv, then temporal
+            # (DSTformer.py:112-118)
+            mid = st_attention(q, k, v, mode="spatial", num_heads=H,
+                               scale=scale, impl=self.attn_impl)
+            q2, k2, v2 = split_qkv(mid)
+            out = st_attention(q2, k2, v2, mode="temporal", num_heads=H,
+                               scale=scale, impl=self.attn_impl)
+        elif self.mode == "parallel":
+            # both axes from one qkv, fused by a per-channel softmax gate
+            # computed from token-mean features (DSTformer.py:119-129)
+            x_t = st_attention(q, k, v, mode="temporal", num_heads=H,
+                               scale=scale, impl=self.attn_impl)
+            x_s = st_attention(q, k, v, mode="spatial", num_heads=H,
+                               scale=scale, impl=self.attn_impl)
+            alpha = jnp.concatenate([x_s, x_t], axis=-1)
+            alpha = alpha.reshape(B * F, J, 2 * C).mean(axis=1, keepdims=True)
+            alpha = nn.Dense(2 * C, dtype=self.dtype,
+                             kernel_init=trunc_normal_init(),
+                             name="ts_attn")(alpha)
+            alpha = jax.nn.softmax(
+                alpha.reshape(B * F, 1, C, 2).astype(jnp.float32), axis=-1
+            ).astype(self.dtype).reshape(B, F, 1, C, 2)
+            out = x_t * alpha[..., 1] + x_s * alpha[..., 0]
+        else:
+            raise NotImplementedError(self.mode)
         # NOTE: attn_drop (dropout on attention weights) is folded away here
         # because every shipped config runs attn_drop_rate=0 (reference
         # load_backbone, learning.py:83-85 passes no attn_drop).
@@ -132,7 +172,7 @@ class Block(nn.Module):
 
     dim: int
     num_heads: int
-    st_mode: str  # "stage_st" | "stage_ts"
+    st_mode: str  # "stage_st" | "stage_ts" | "stage_para"
     mlp_ratio: float = 4.0
     mlp_out_ratio: float = 1.0
     qkv_bias: bool = True
@@ -140,6 +180,7 @@ class Block(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    att_fuse: bool = False  # only used by stage_para
     attn_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
@@ -162,6 +203,10 @@ class Block(nn.Module):
         self.mlp_t = Mlp(hidden_features=hidden, out_features=out_dim,
                          drop=self.drop, dtype=self.dtype, name="mlp_t")
         self.droppath = DropPath(self.drop_path)
+        if self.st_mode == "stage_para" and self.att_fuse:
+            self.ts_attn = nn.Dense(2 * self.dim, dtype=self.dtype,
+                                    kernel_init=trunc_normal_init(),
+                                    name="ts_attn")
 
     def __call__(self, x, deterministic: bool = True):
         dp = lambda y: self.droppath(y, deterministic=deterministic)
@@ -175,6 +220,24 @@ class Block(nn.Module):
             x = x + dp(self.mlp_t(self.norm2_t(x), deterministic))
             x = x + dp(self.attn_s(self.norm1_s(x), deterministic))
             x = x + dp(self.mlp_s(self.norm2_s(x), deterministic))
+        elif self.st_mode == "stage_para":
+            # legacy in-block parallel branches with optional per-channel
+            # gate (reference DSTformer.py:250-264; DSTformer itself fuses
+            # at the top level instead)
+            x_t = x + dp(self.attn_t(self.norm1_t(x), deterministic))
+            x_t = x_t + dp(self.mlp_t(self.norm2_t(x_t), deterministic))
+            x_s = x + dp(self.attn_s(self.norm1_s(x), deterministic))
+            x_s = x_s + dp(self.mlp_s(self.norm2_s(x_s), deterministic))
+            if self.att_fuse:
+                alpha = jnp.concatenate([x_s, x_t], axis=-1)
+                alpha = self.ts_attn(alpha)
+                B, F, J, C2 = alpha.shape
+                alpha = jax.nn.softmax(
+                    alpha.reshape(B, F, J, C2 // 2, 2).astype(jnp.float32),
+                    axis=-1).astype(self.dtype)
+                x = x_t * alpha[..., 1] + x_s * alpha[..., 0]
+            else:
+                x = (x_s + x_t) * 0.5
         else:
             raise NotImplementedError(self.st_mode)
         return x

@@ -247,3 +247,17 @@ def st_attention(q, k, v, mode: str, num_heads: int, scale: float,
     if impl == "xla":
         return _attention_xla(q, k, v, num_heads, scale, mode)
     return _attention_fused(q, k, v, num_heads, scale, mode)
+
+
+def coupled_attention(q, k, v, num_heads: int, scale: float):
+    """Joint-time coupled attention: all F*J tokens attend to each other
+    (the reference's legacy "coupling"/"vanilla" Attention modes,
+    DSTformer.py:130-137/163-176). XLA path only — these modes are not on
+    the DSTformer hot path."""
+    B, F, J, C = q.shape
+    qh, kh, vh = (_split_heads(x.reshape(B, F * J, 1, C), num_heads)
+                  for x in (q, k, v))
+    perm = "bnjhd->bjhnd"  # tokens=F*J on the attention axis
+    out = _sdpa(jnp.einsum(perm, qh), jnp.einsum(perm, kh),
+                jnp.einsum(perm, vh), scale)
+    return _merge_heads(jnp.einsum("bjhnd->bnjhd", out)).reshape(B, F, J, C)

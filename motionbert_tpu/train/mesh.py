@@ -227,6 +227,10 @@ def train_with_config(args, opts):
 
     tx = make_two_group_adamw(args.lr_backbone, args.lr_head,
                               args.weight_decay)
+    if args.get("partial_train", None):
+        from motionbert_tpu.train.state import freeze_except
+
+        tx = freeze_except(tx, params, args.partial_train)
     state = TrainState.create(model.apply, params, tx, extra_vars=extra_vars)
     if resume_payload is not None:
         st = resume_payload["epoch"]

@@ -317,6 +317,10 @@ def train_with_config(args, opts):
         return {"e1": e1, "e2": e2}
 
     tx = make_adamw(lr, args.weight_decay)
+    if args.get("partial_train", None):
+        from motionbert_tpu.train.state import freeze_except
+
+        tx = freeze_except(tx, params, args.partial_train)
     state = TrainState.create(model.apply, params, tx)
     if resume_payload is not None:
         st = resume_payload["epoch"]

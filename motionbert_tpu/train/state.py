@@ -26,6 +26,24 @@ def make_adamw(lr: float, weight_decay: float) -> optax.GradientTransformation:
         learning_rate=lr, weight_decay=weight_decay)
 
 
+def freeze_except(tx: optax.GradientTransformation, params,
+                  patterns) -> optax.GradientTransformation:
+    """Train only params whose path contains one of `patterns`; freeze the
+    rest (reference partial_train_layers, learning.py:69-77).
+    """
+    patterns = list(patterns)
+
+    def label_fn(p):
+        def leaf_label(path, _):
+            key = jax.tree_util.keystr(path)
+            return "train" if any(pat in key for pat in patterns) else "freeze"
+
+        return jax.tree_util.tree_map_with_path(leaf_label, p)
+
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, label_fn)
+
+
 @flax.struct.dataclass
 class TrainState:
     """Minimal functional train state (params, opt state, step)."""

@@ -154,7 +154,7 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     assert "epoch_1.ckpt" in files and "epoch_3.ckpt" in files
     assert "epoch_0.ckpt" not in files  # frequency gating
     payload = load_checkpoint(mgr.latest_path)
-    assert payload["epoch"] == 3
+    assert payload["epoch"] == 4  # stores epoch+1 (reference train.py:49)
     np.testing.assert_allclose(payload["params"]["w"], params["w"])
 
 

@@ -270,6 +270,42 @@ def golden_action_dataset():
     print("action dataset goldens written")
 
 
+def golden_legacy_attention():
+    """Reference Attention legacy modes + stage_para Block on fixed inputs."""
+    from functools import partial
+    import torch.nn as nn
+    from lib.model.DSTformer import Attention, Block
+
+    rs = np.random.RandomState(23)
+    B, F, J, C, H = 2, 6, 17, 32, 4
+    x = rs.normal(size=(B * F, J, C)).astype(np.float32)
+    xt = torch.from_numpy(x)
+    data = {"x": x, "F": np.array(F)}
+    for mode in ("series", "parallel", "coupling", "vanilla", "temporal",
+                 "spatial"):
+        torch.manual_seed(5)
+        attn = Attention(C, num_heads=H, qkv_bias=True, st_mode=mode)
+        attn.eval()
+        with torch.no_grad():
+            out = attn(xt, seqlen=F)
+        data[f"{mode}:out"] = out.numpy()
+        for kname, v in attn.state_dict().items():
+            data[f"{mode}:sd:{kname}"] = v.numpy()
+
+    torch.manual_seed(6)
+    blk = Block(C, num_heads=H, mlp_ratio=2, qkv_bias=True,
+                st_mode="stage_para", att_fuse=True,
+                norm_layer=partial(nn.LayerNorm, eps=1e-6))
+    blk.eval()
+    with torch.no_grad():
+        out = blk(xt, seqlen=F)
+    data["stage_para:out"] = out.numpy()
+    for kname, v in blk.state_dict().items():
+        data[f"stage_para:sd:{kname}"] = v.numpy()
+    np.savez_compressed(os.path.join(OUT, "legacy_attention.npz"), **data)
+    print("legacy attention goldens written")
+
+
 def golden_supcon():
     from lib.model.loss_supcon import SupConLoss
 
@@ -292,4 +328,5 @@ if __name__ == "__main__":
     golden_datareader()
     golden_action_dataset()
     golden_supcon()
+    golden_legacy_attention()
     print("all goldens written to", OUT)
