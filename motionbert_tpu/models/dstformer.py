@@ -265,6 +265,7 @@ class DSTformer(nn.Module):
     drop_path_rate: float = 0.0
     att_fuse: bool = True
     attn_impl: str = "xla"
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -322,8 +323,15 @@ class DSTformer(nn.Module):
         x = self.pos_drop(x, deterministic=deterministic)
 
         for idx in range(self.depth):
-            x_st = self.blocks_st[idx](x, deterministic)
-            x_ts = self.blocks_ts[idx](x, deterministic)
+            if self.remat:
+                run = nn.remat(
+                    lambda blk, y: blk(y, deterministic),
+                    static_argnums=())
+                x_st = run(self.blocks_st[idx], x)
+                x_ts = run(self.blocks_ts[idx], x)
+            else:
+                x_st = self.blocks_st[idx](x, deterministic)
+                x_ts = self.blocks_ts[idx](x, deterministic)
             if self.att_fuse:
                 alpha = jnp.concatenate([x_st, x_ts], axis=-1)
                 alpha = self.ts_attn[idx](alpha)       # (B, F, J, 2)
@@ -343,3 +351,8 @@ class DSTformer(nn.Module):
 
     def get_representation(self, x, deterministic: bool = True):
         return self(x, return_rep=True, deterministic=deterministic)
+
+    def reset_classifier(self, dim_out: int) -> "DSTformer":
+        """Return a copy with a new output head size (params must be
+        re-initialized/merged by the caller; reference DSTformer.py:325-327)."""
+        return self.copy(dim_out=dim_out)

@@ -126,6 +126,7 @@ def train_with_config(args, opts):
     from motionbert_tpu.core.metrics import AverageMeter
     from motionbert_tpu.data.dataset_action import NTURGBD
     from motionbert_tpu.data.datasets import BatchLoader
+    from motionbert_tpu.parallel import make_mesh, shard_batch, shard_params
 
     enable_compilation_cache()
     os.makedirs(opts.checkpoint, exist_ok=True)
@@ -186,6 +187,8 @@ def train_with_config(args, opts):
         print(f"Loss {loss:.4f} \tAcc@1 {t1:.3f} \tAcc@5 {t5:.3f}")
         return {"top1": t1, "top5": t5}
 
+    mesh = make_mesh()
+    params = shard_params(params, mesh)
     tx = make_two_group_adamw(args.lr_backbone, args.lr_head,
                               args.weight_decay)
     if args.get("partial_train", None):
@@ -208,8 +211,9 @@ def train_with_config(args, opts):
         top1 = AverageMeter()
         for batch_input, batch_gt in train_loader:
             rng, sub = jax.random.split(rng)
-            state, m = train_step(state, jnp.asarray(batch_input),
-                                  jnp.asarray(batch_gt), sub)
+            bi, bg = shard_batch(
+                (jnp.asarray(batch_input), jnp.asarray(batch_gt)), mesh)
+            state, m = train_step(state, bi, bg, sub)
             losses.update(float(m["loss"]), len(batch_input))
             top1.update(float(m["top1"]), len(batch_input))
         test_loss, test_top1, test_top5 = validate(

@@ -145,6 +145,7 @@ def train_with_config(args, opts):
     from motionbert_tpu.data.dataset_mesh import MotionSMPL
     from motionbert_tpu.data.datasets import BatchLoader
     from motionbert_tpu.models.smpl import SMPLModel
+    from motionbert_tpu.parallel import make_mesh, shard_batch, shard_params
     from motionbert_tpu.train.action import make_two_group_adamw
 
     enable_compilation_cache()
@@ -225,6 +226,8 @@ def train_with_config(args, opts):
                 out[name] = {"mpjpe": jpe, "pa_mpjpe": pa, "mpve": ve}
         return out
 
+    mesh = make_mesh()
+    params = shard_params(params, mesh)
     tx = make_two_group_adamw(args.lr_backbone, args.lr_head,
                               args.weight_decay)
     if args.get("partial_train", None):
@@ -249,9 +252,10 @@ def train_with_config(args, opts):
     def run_train(state, rng, loader, losses):
         for batch_input, batch_gt in loader:
             rng, sub = jax.random.split(rng)
-            state, terms = train_step(
-                state, jnp.asarray(batch_input),
-                jax.tree_util.tree_map(jnp.asarray, batch_gt), sub)
+            bi, bg = shard_batch(
+                (jnp.asarray(batch_input),
+                 jax.tree_util.tree_map(jnp.asarray, batch_gt)), mesh)
+            state, terms = train_step(state, bi, bg, sub)
             for k, v in terms.items():
                 losses.setdefault(k, AverageMeter()).update(
                     float(v), batch_input.shape[0])
