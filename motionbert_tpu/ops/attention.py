@@ -79,24 +79,34 @@ def _attention_xla(q, k, v, num_heads, scale, mode):
 # Fused Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _temporal_kernel(num_heads, scale, q_ref, k_ref, v_ref, o_ref):
-    """One (b, j) slice: per-head attention over F frames."""
-    qb = q_ref[0]  # (F, C)
-    kb = k_ref[0]
-    vb = v_ref[0]
-    C = qb.shape[-1]
+def _temporal_kernel(num_heads, scale, bb, q_ref, k_ref, v_ref, o_ref):
+    """One (batch-block, j) slice: per-head attention over F frames for bb
+    batch elements (batched per program to amortize grid overhead)."""
+    C = q_ref.shape[-1]
     d = C // num_heads
-    for h in range(num_heads):
-        sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(
-            qb[:, sl], kb[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, :, sl] = jax.lax.dot_general(
-            p.astype(qb.dtype), vb[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    for b in range(bb):
+        qb = q_ref[b]  # (F, C)
+        kb = k_ref[b]
+        vb = v_ref[b]
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            s = jax.lax.dot_general(
+                qb[:, sl], kb[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[b, :, sl] = jax.lax.dot_general(
+                p.astype(qb.dtype), vb[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _pick_batch_block(B: int, per_b_bytes: int, budget: int = 6 << 20) -> int:
+    """Largest divisor of B (<=8) whose 4 buffers fit the VMEM budget."""
+    for bb in (8, 4, 2, 1):
+        if B % bb == 0 and bb * per_b_bytes * 4 <= budget:
+            return bb
+    return 1
 
 
 def _temporal_pallas(q, k, v, num_heads, scale):
@@ -105,15 +115,17 @@ def _temporal_pallas(q, k, v, num_heads, scale):
 
     B, F, J, C = q.shape
     # View as (B, F, J*C) — a free reshape — and block the fused (J*C) axis
-    # at stride C: block (1, F, C) indexed by (b, j) is exactly the
-    # q[b, :, j, :] slice, strided-DMA'd straight out of the natural layout.
-    # No relayout transposes; F and C satisfy the last-two-dims tiling rule.
+    # at stride C: block (bb, F, C) indexed by (b, j) covers the
+    # q[b*bb:(b+1)*bb, :, j, :] slices, strided-DMA'd straight out of the
+    # natural layout. No relayout transposes; F and C satisfy the
+    # last-two-dims tiling rule.
+    bb = _pick_batch_block(B, F * C * q.dtype.itemsize)
     q3, k3, v3 = (x.reshape(B, F, J * C) for x in (q, k, v))
-    spec = pl.BlockSpec((1, F, C), lambda b, j: (b, 0, j),
+    spec = pl.BlockSpec((bb, F, C), lambda b, j: (b, 0, j),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_temporal_kernel, num_heads, scale),
-        grid=(B, J),
+        functools.partial(_temporal_kernel, num_heads, scale, bb),
+        grid=(B // bb, J),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, F, J * C), q.dtype),
@@ -122,42 +134,45 @@ def _temporal_pallas(q, k, v, num_heads, scale):
     return out.reshape(B, F, J, C)
 
 
-def _spatial_kernel(num_heads, scale, num_joints, total_tokens,
+def _spatial_kernel(num_heads, scale, num_joints, total_tokens, bb,
                     q_ref, k_ref, v_ref, o_ref):
-    """One (b, frame-tile) slice: within-frame attention over J joints,
-    batched as a single (tf*J, tf*J) masked matmul per head. Token rows are
-    the flattened (frame, joint) pairs, so everything stays 2-D in VMEM."""
+    """One (batch-block, frame-tile) slice: within-frame attention over J
+    joints, batched as a single (tf*J, tf*J) masked matmul per head and
+    unrolled over bb batch elements per program. Token rows are the
+    flattened (frame, joint) pairs, so everything stays 2-D in VMEM."""
     from jax.experimental import pallas as pl
 
-    qb = q_ref[0]  # (TF*J, C)
-    kb = k_ref[0]
-    vb = v_ref[0]
-    TJ, C = qb.shape
+    TJ = q_ref.shape[1]
+    C = q_ref.shape[-1]
     d = C // num_heads
     # Partial edge block: rows beyond the array are undefined. Zero v there
     # (0-weight x NaN would still be NaN in the output contraction); q/k
     # garbage is neutralized by the select below and by dropped stores.
     start = pl.program_id(1) * TJ
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TJ, 1), 0) + start
-    vb = jnp.where(row_ids < total_tokens, vb, 0)
+    row_valid = row_ids < total_tokens
     # block-diagonal frame mask: token i attends to token m iff same frame.
     # A select (not an additive bias) so undefined values in partial edge
     # blocks cannot leak through as +-inf.
     row_f = jax.lax.broadcasted_iota(jnp.int32, (TJ, TJ), 0) // num_joints
     col_f = jax.lax.broadcasted_iota(jnp.int32, (TJ, TJ), 1) // num_joints
     same_frame = row_f == col_f
-    for h in range(num_heads):
-        sl = slice(h * d, (h + 1) * d)
-        s = jax.lax.dot_general(
-            qb[:, sl], kb[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = jnp.where(same_frame, s, jnp.float32(-1e30))
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, :, sl] = jax.lax.dot_general(
-            p.astype(qb.dtype), vb[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    for b in range(bb):
+        qb = q_ref[b]  # (TF*J, C)
+        kb = k_ref[b]
+        vb = jnp.where(row_valid, v_ref[b], 0)
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            s = jax.lax.dot_general(
+                qb[:, sl], kb[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(same_frame, s, jnp.float32(-1e30))
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[b, :, sl] = jax.lax.dot_general(
+                p.astype(qb.dtype), vb[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _spatial_pallas(q, k, v, num_heads, scale):
@@ -174,12 +189,13 @@ def _spatial_pallas(q, k, v, num_heads, scale):
     tf = 8
     while (tf * J) % 8 != 0:  # general J; for J=17 tf=8 works
         tf += 1
+    bb = _pick_batch_block(B, tf * J * C * q.dtype.itemsize)
     q2, k2, v2 = (x.reshape(B, F * J, C) for x in (q, k, v))
-    spec = pl.BlockSpec((1, tf * J, C), lambda b, t: (b, t, 0),
+    spec = pl.BlockSpec((bb, tf * J, C), lambda b, t: (b, t, 0),
                         memory_space=pltpu.VMEM)
-    grid = (B, (F + tf - 1) // tf)
+    grid = (B // bb, (F + tf - 1) // tf)
     out = pl.pallas_call(
-        functools.partial(_spatial_kernel, num_heads, scale, J, F * J),
+        functools.partial(_spatial_kernel, num_heads, scale, J, F * J, bb),
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=spec,
