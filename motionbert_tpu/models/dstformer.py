@@ -78,6 +78,24 @@ class Mlp(nn.Module):
         return x
 
 
+class DenseParams(nn.Module):
+    """Declares kernel/bias with nn.Dense's exact param-tree layout but
+    returns the raw tensors, so fused kernels can consume them directly
+    while checkpoints stay interchangeable with the unfused path."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", trunc_normal_init(),
+                            (self.in_features, self.out_features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_features,)) if self.use_bias else None
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Attention over joints ("spatial"), frames ("temporal"), or the legacy
     variants ("vanilla"/"coupling": all F*J tokens jointly; "series":
@@ -101,12 +119,28 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        from motionbert_tpu.ops.attention import coupled_attention
+        from motionbert_tpu.ops.attention import (
+            coupled_attention, fused_attention_block)
 
         B, F, J, C = x.shape
         H = self.num_heads
         d = C // H
         scale = self.qk_scale if self.qk_scale is not None else d ** -0.5
+
+        if self.mode in ("spatial", "temporal") and self.attn_impl == "pallas":
+            # fully fused path: qkv matmul + attention + out-projection in
+            # one kernel; raw params share nn.Dense's tree layout
+            wqkv, bqkv = DenseParams(C, 3 * C, use_bias=self.qkv_bias,
+                                     name="qkv")()
+            wproj, bproj = DenseParams(C, C, name="proj")()
+            if bqkv is None:
+                bqkv = jnp.zeros((3 * C,), wqkv.dtype)
+            out = fused_attention_block(
+                x.astype(self.dtype), wqkv.astype(self.dtype),
+                bqkv.astype(self.dtype), wproj.astype(self.dtype),
+                bproj.astype(self.dtype), H, scale, self.mode)
+            return nn.Dropout(self.proj_drop)(out,
+                                              deterministic=deterministic)
 
         qkv_layer = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                              kernel_init=trunc_normal_init(), name="qkv")

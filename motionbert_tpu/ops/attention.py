@@ -265,6 +265,145 @@ def st_attention(q, k, v, mode: str, num_heads: int, scale: float,
     return _attention_fused(q, k, v, num_heads, scale, mode)
 
 
+# ---------------------------------------------------------------------------
+# Fully fused attention block: qkv matmul -> attention -> output projection
+# in one kernel. Cuts the attention sub-block's HBM traffic ~5x (the qkv and
+# pre-projection activations never leave VMEM); weight blocks use constant
+# index maps so Pallas keeps them VMEM-resident across the whole grid.
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _attn_rows(qkv, num_heads, scale, same_mask, out_dtype):
+    """qkv: (N, 3C) f32 rows of one token group -> attention output (N, C)."""
+    N, C3 = qkv.shape
+    C = C3 // 3
+    d = C // num_heads
+    outs = []
+    for h in range(num_heads):
+        q = qkv[:, h * d:(h + 1) * d].astype(out_dtype)
+        k = qkv[:, C + h * d:C + (h + 1) * d].astype(out_dtype)
+        v = qkv[:, 2 * C + h * d:2 * C + (h + 1) * d].astype(out_dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if same_mask is not None:
+            s = jnp.where(same_mask, s, jnp.float32(-1e30))
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(_dot(p.astype(out_dtype), v).astype(out_dtype))
+    return jnp.concatenate(outs, axis=-1)  # (N, C)
+
+
+def _fused_block_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
+                        x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                        o_ref):
+    from jax.experimental import pallas as pl
+
+    N = x_ref.shape[1]
+    same_mask = None
+    row_valid = None
+    if mode == "spatial":
+        start = pl.program_id(1) * N
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) + start
+        row_valid = row_ids < total_tokens
+        row_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // num_joints
+        col_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // num_joints
+        same_mask = row_f == col_f
+    for b in range(bb):
+        xb = x_ref[b]  # (N, C)
+        if row_valid is not None:
+            # zero padding rows so masked-out weights can't pull NaNs
+            xb = jnp.where(row_valid, xb, 0)
+        qkv = _dot(xb, wqkv_ref[:]) + bqkv_ref[0]          # (N, 3C) f32
+        attn = _attn_rows(qkv, num_heads, scale, same_mask, xb.dtype)
+        out = _dot(attn, wproj_ref[:]) + bproj_ref[0]      # (N, C) f32
+        o_ref[b] = out.astype(o_ref.dtype)
+
+
+def _fused_block_pallas(x, wqkv, bqkv, wproj, bproj, num_heads, scale, mode):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, F, J, C = x.shape
+    if mode == "temporal":
+        grid_minor, N, total = J, F, None
+        x2 = x.reshape(B, F, J * C)
+        bb = _pick_batch_block(B, F * C * x.dtype.itemsize)
+        x_spec = pl.BlockSpec((bb, F, C), lambda b, t: (b, 0, t),
+                              memory_space=pltpu.VMEM)
+        grid = (B // bb, J)
+        out_shape = (B, F, J * C)
+    else:
+        tf = 8
+        while (tf * J) % 8 != 0:
+            tf += 1
+        N, total = tf * J, F * J
+        x2 = x.reshape(B, F * J, C)
+        bb = _pick_batch_block(B, N * C * x.dtype.itemsize)
+        x_spec = pl.BlockSpec((bb, N, C), lambda b, t: (b, t, 0),
+                              memory_space=pltpu.VMEM)
+        grid = (B // bb, (F + tf - 1) // tf)
+        out_shape = (B, F * J, C)
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, t: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_block_kernel, num_heads, scale, bb, J,
+                          total, mode),
+        grid=grid,
+        in_specs=[x_spec, const(wqkv.shape), const((1, bqkv.shape[-1])),
+                  const(wproj.shape), const((1, bproj.shape[-1]))],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+        interpret=not _on_tpu(),
+    )(x2, wqkv, bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1))
+    return out.reshape(B, F, J, C)
+
+
+def _fused_block_xla(x, wqkv, bqkv, wproj, bproj, num_heads, scale, mode):
+    """Reference composition (also the backward path)."""
+    C = x.shape[-1]
+    qkv = x @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
+    q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+    attn = _attention_xla(q, k, v, num_heads, scale, mode)
+    return attn @ wproj.astype(x.dtype) + bproj.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_attention_block(x, wqkv, bqkv, wproj, bproj, num_heads, scale,
+                          mode):
+    """qkv projection + single-axis attention + output projection, fused.
+
+    x: (B, F, J, C); wqkv: (C, 3C); wproj: (C, C). Forward runs in one
+    Pallas kernel per axis group; backward recomputes via the XLA
+    composition (activations never stored).
+    """
+    return _fused_block_pallas(x, wqkv, bqkv, wproj, bproj, num_heads,
+                               scale, mode)
+
+
+def _fused_block_fwd(x, wqkv, bqkv, wproj, bproj, num_heads, scale, mode):
+    out = fused_attention_block(x, wqkv, bqkv, wproj, bproj, num_heads,
+                                scale, mode)
+    return out, (x, wqkv, bqkv, wproj, bproj)
+
+
+def _fused_block_bwd(num_heads, scale, mode, res, g):
+    x, wqkv, bqkv, wproj, bproj = res
+    _, vjp = jax.vjp(
+        lambda *args: _fused_block_xla(*args, num_heads, scale, mode),
+        x, wqkv, bqkv, wproj, bproj)
+    return vjp(g)
+
+
+fused_attention_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
 def coupled_attention(q, k, v, num_heads: int, scale: float):
     """Joint-time coupled attention: all F*J tokens attend to each other
     (the reference's legacy "coupling"/"vanilla" Attention modes,
