@@ -59,15 +59,45 @@ class DropPath(nn.Module):
 
 
 class Mlp(nn.Module):
-    """fc1 -> GELU -> drop -> fc2 -> drop (reference DSTformer.py:69-85)."""
+    """fc1 -> GELU -> drop -> fc2 -> drop (reference DSTformer.py:69-85).
+
+    With impl="pallas" and an absorbed pre-LN/residual, runs as one fused
+    kernel (ops.fused_mlp) — hidden activations never touch HBM.
+    """
 
     hidden_features: int
     out_features: int
     drop: float = 0.0
+    impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None,
+                 residual: bool = False):
+        from motionbert_tpu.ops.attention import layer_norm
+        from motionbert_tpu.ops.fused_mlp import fused_mlp_block
+
+        C = x.shape[-1]
+        # fused path also needs the inter-layer dropout inactive (the
+        # reference drops between GELU and fc2, DSTformer.py:79-84)
+        if self.impl == "pallas" and (self.drop == 0.0 or deterministic):
+            w1, b1 = DenseParams(C, self.hidden_features, name="fc1")()
+            w2, b2 = DenseParams(self.hidden_features, self.out_features,
+                                 name="fc2")()
+            if ln is None:
+                ln_s = jnp.ones((C,), jnp.float32)
+                ln_b = jnp.zeros((C,), jnp.float32)
+            else:
+                ln_s, ln_b = ln
+            out = fused_mlp_block(
+                x.astype(self.dtype), ln_s, ln_b, w1.astype(self.dtype),
+                b1.astype(self.dtype), w2.astype(self.dtype),
+                b2.astype(self.dtype), ln is not None, residual)
+            return nn.Dropout(self.drop)(out, deterministic=deterministic)
+
+        x_in = x
+        if ln is not None:
+            x = layer_norm(x, *ln)
         x = nn.Dense(self.hidden_features, dtype=self.dtype,
                      kernel_init=trunc_normal_init(), name="fc1")(x)
         x = nn.gelu(x, approximate=False)
@@ -75,6 +105,8 @@ class Mlp(nn.Module):
         x = nn.Dense(self.out_features, dtype=self.dtype,
                      kernel_init=trunc_normal_init(), name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        if residual:
+            x = x_in + x
         return x
 
 
@@ -94,6 +126,19 @@ class DenseParams(nn.Module):
         bias = self.param("bias", nn.initializers.zeros,
                           (self.out_features,)) if self.use_bias else None
         return kernel, bias
+
+
+class LNParams(nn.Module):
+    """LayerNorm params with nn.LayerNorm's tree layout (scale/bias),
+    applied functionally so fused kernels can absorb them."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
 
 
 class Attention(nn.Module):
@@ -118,9 +163,14 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None,
+                 residual: bool = False):
+        """ln: optional (scale, bias) of a pre-LayerNorm to absorb;
+        residual: add the (pre-LN) input to the output. Both are fused into
+        the kernel on the pallas path; the caller (Block) only passes them
+        when the stochastic regularizers are inactive."""
         from motionbert_tpu.ops.attention import (
-            coupled_attention, fused_attention_block)
+            coupled_attention, fused_attention_block, layer_norm)
 
         B, F, J, C = x.shape
         H = self.num_heads
@@ -128,19 +178,30 @@ class Attention(nn.Module):
         scale = self.qk_scale if self.qk_scale is not None else d ** -0.5
 
         if self.mode in ("spatial", "temporal") and self.attn_impl == "pallas":
-            # fully fused path: qkv matmul + attention + out-projection in
-            # one kernel; raw params share nn.Dense's tree layout
+            # fully fused path: [LN +] qkv matmul + attention +
+            # out-projection [+ residual] in one kernel; raw params share
+            # nn.Dense's tree layout
             wqkv, bqkv = DenseParams(C, 3 * C, use_bias=self.qkv_bias,
                                      name="qkv")()
             wproj, bproj = DenseParams(C, C, name="proj")()
             if bqkv is None:
                 bqkv = jnp.zeros((3 * C,), wqkv.dtype)
+            if ln is None:
+                ln_s = jnp.ones((C,), jnp.float32)
+                ln_b = jnp.zeros((C,), jnp.float32)
+            else:
+                ln_s, ln_b = ln
             out = fused_attention_block(
-                x.astype(self.dtype), wqkv.astype(self.dtype),
+                x.astype(self.dtype), ln_s, ln_b, wqkv.astype(self.dtype),
                 bqkv.astype(self.dtype), wproj.astype(self.dtype),
-                bproj.astype(self.dtype), H, scale, self.mode)
+                bproj.astype(self.dtype), H, scale, self.mode,
+                ln is not None, residual)
             return nn.Dropout(self.proj_drop)(out,
                                               deterministic=deterministic)
+
+        x_in = x
+        if ln is not None:
+            x = layer_norm(x, *ln)
 
         qkv_layer = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
                              kernel_init=trunc_normal_init(), name="qkv")
@@ -194,6 +255,8 @@ class Attention(nn.Module):
         out = nn.Dense(C, dtype=self.dtype, kernel_init=trunc_normal_init(),
                        name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        if residual:
+            out = x_in + out
         return out
 
 
@@ -219,11 +282,10 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)
-        self.norm1_s = ln("norm1_s")
-        self.norm1_t = ln("norm1_t")
-        self.norm2_s = ln("norm2_s")
-        self.norm2_t = ln("norm2_t")
+        self.norm1_s = LNParams(self.dim, name="norm1_s")
+        self.norm1_t = LNParams(self.dim, name="norm1_t")
+        self.norm2_s = LNParams(self.dim, name="norm2_s")
+        self.norm2_t = LNParams(self.dim, name="norm2_t")
         kw = dict(dim=self.dim, num_heads=self.num_heads,
                   qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                   attn_drop=self.attn_drop, proj_drop=self.drop,
@@ -233,35 +295,62 @@ class Block(nn.Module):
         hidden = int(self.dim * self.mlp_ratio)
         out_dim = int(self.dim * self.mlp_out_ratio)
         self.mlp_s = Mlp(hidden_features=hidden, out_features=out_dim,
-                         drop=self.drop, dtype=self.dtype, name="mlp_s")
+                         drop=self.drop, impl=self.attn_impl,
+                         dtype=self.dtype, name="mlp_s")
         self.mlp_t = Mlp(hidden_features=hidden, out_features=out_dim,
-                         drop=self.drop, dtype=self.dtype, name="mlp_t")
+                         drop=self.drop, impl=self.attn_impl,
+                         dtype=self.dtype, name="mlp_t")
         self.droppath = DropPath(self.drop_path)
         if self.st_mode == "stage_para" and self.att_fuse:
             self.ts_attn = nn.Dense(2 * self.dim, dtype=self.dtype,
                                     kernel_init=trunc_normal_init(),
                                     name="ts_attn")
 
+    def _sub_blocks(self, x, order, deterministic):
+        """Run attention+MLP sub-blocks in the given axis order.
+
+        When the stochastic regularizers are inactive (eval, or the shipped
+        rate-0 configs), the pre-LN and residual fold into the attention
+        kernel; otherwise the composition is explicit with DropPath.
+        """
+        from motionbert_tpu.ops.attention import layer_norm
+
+        dp = lambda y: self.droppath(y, deterministic=deterministic)
+        fuse_res = deterministic or (self.drop == 0.0 and
+                                     self.drop_path == 0.0)
+        for axis in order:
+            attn = self.attn_s if axis == "s" else self.attn_t
+            mlp = self.mlp_s if axis == "s" else self.mlp_t
+            ln1 = (self.norm1_s if axis == "s" else self.norm1_t)()
+            ln2 = (self.norm2_s if axis == "s" else self.norm2_t)()
+            if fuse_res:
+                x = attn(x, deterministic, ln=ln1, residual=True)
+                x = mlp(x, deterministic, ln=ln2, residual=True)
+            else:
+                x = x + dp(attn(x, deterministic, ln=ln1))
+                x = x + dp(mlp(layer_norm(x, *ln2), deterministic))
+        return x
+
     def __call__(self, x, deterministic: bool = True):
+        from motionbert_tpu.ops.attention import layer_norm
+
         dp = lambda y: self.droppath(y, deterministic=deterministic)
         if self.st_mode == "stage_st":
-            x = x + dp(self.attn_s(self.norm1_s(x), deterministic))
-            x = x + dp(self.mlp_s(self.norm2_s(x), deterministic))
-            x = x + dp(self.attn_t(self.norm1_t(x), deterministic))
-            x = x + dp(self.mlp_t(self.norm2_t(x), deterministic))
+            x = self._sub_blocks(x, ("s", "t"), deterministic)
         elif self.st_mode == "stage_ts":
-            x = x + dp(self.attn_t(self.norm1_t(x), deterministic))
-            x = x + dp(self.mlp_t(self.norm2_t(x), deterministic))
-            x = x + dp(self.attn_s(self.norm1_s(x), deterministic))
-            x = x + dp(self.mlp_s(self.norm2_s(x), deterministic))
+            x = self._sub_blocks(x, ("t", "s"), deterministic)
         elif self.st_mode == "stage_para":
             # legacy in-block parallel branches with optional per-channel
             # gate (reference DSTformer.py:250-264; DSTformer itself fuses
             # at the top level instead)
-            x_t = x + dp(self.attn_t(self.norm1_t(x), deterministic))
-            x_t = x_t + dp(self.mlp_t(self.norm2_t(x_t), deterministic))
-            x_s = x + dp(self.attn_s(self.norm1_s(x), deterministic))
-            x_s = x_s + dp(self.mlp_s(self.norm2_s(x_s), deterministic))
+            x_t = x + dp(self.attn_t(layer_norm(x, *self.norm1_t()),
+                                     deterministic))
+            x_t = x_t + dp(self.mlp_t(layer_norm(x_t, *self.norm2_t()),
+                                      deterministic))
+            x_s = x + dp(self.attn_s(layer_norm(x, *self.norm1_s()),
+                                     deterministic))
+            x_s = x_s + dp(self.mlp_s(layer_norm(x_s, *self.norm2_s()),
+                                      deterministic))
             if self.att_fuse:
                 alpha = jnp.concatenate([x_s, x_t], axis=-1)
                 alpha = self.ts_attn(alpha)

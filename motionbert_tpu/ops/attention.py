@@ -298,9 +298,18 @@ def _attn_rows(qkv, num_heads, scale, same_mask, out_dtype):
     return jnp.concatenate(outs, axis=-1)  # (N, C)
 
 
+def _ln_rows(x, scale, bias, eps=1e-6):
+    """LayerNorm over the last axis, fp32 accumulation (flax semantics)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
 def _fused_block_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
-                        x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-                        o_ref):
+                        use_ln, residual, x_ref, ln_s_ref, ln_b_ref,
+                        wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref):
     from jax.experimental import pallas as pl
 
     N = x_ref.shape[1]
@@ -318,19 +327,24 @@ def _fused_block_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
         if row_valid is not None:
             # zero padding rows so masked-out weights can't pull NaNs
             xb = jnp.where(row_valid, xb, 0)
-        qkv = _dot(xb, wqkv_ref[:]) + bqkv_ref[0]          # (N, 3C) f32
+        h = _ln_rows(xb, ln_s_ref[0], ln_b_ref[0]).astype(xb.dtype) \
+            if use_ln else xb
+        qkv = _dot(h, wqkv_ref[:]) + bqkv_ref[0]           # (N, 3C) f32
         attn = _attn_rows(qkv, num_heads, scale, same_mask, xb.dtype)
         out = _dot(attn, wproj_ref[:]) + bproj_ref[0]      # (N, C) f32
+        if residual:
+            out = out + xb.astype(jnp.float32)
         o_ref[b] = out.astype(o_ref.dtype)
 
 
-def _fused_block_pallas(x, wqkv, bqkv, wproj, bproj, num_heads, scale, mode):
+def _fused_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                        num_heads, scale, mode, use_ln, residual):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, F, J, C = x.shape
     if mode == "temporal":
-        grid_minor, N, total = J, F, None
+        N, total = F, None
         x2 = x.reshape(B, F, J * C)
         bb = _pick_batch_block(B, F * C * x.dtype.itemsize)
         x_spec = pl.BlockSpec((bb, F, C), lambda b, t: (b, 0, t),
@@ -354,50 +368,68 @@ def _fused_block_pallas(x, wqkv, bqkv, wproj, bproj, num_heads, scale, mode):
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fused_block_kernel, num_heads, scale, bb, J,
-                          total, mode),
+                          total, mode, use_ln, residual),
         grid=grid,
-        in_specs=[x_spec, const(wqkv.shape), const((1, bqkv.shape[-1])),
+        in_specs=[x_spec, const((1, C)), const((1, C)),
+                  const(wqkv.shape), const((1, bqkv.shape[-1])),
                   const(wproj.shape), const((1, bproj.shape[-1]))],
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         interpret=not _on_tpu(),
-    )(x2, wqkv, bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1))
+    )(x2, ln_scale.reshape(1, -1), ln_bias.reshape(1, -1), wqkv,
+      bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1))
     return out.reshape(B, F, J, C)
 
 
-def _fused_block_xla(x, wqkv, bqkv, wproj, bproj, num_heads, scale, mode):
+def layer_norm(x, scale, bias, eps=1e-6):
+    """Functional LayerNorm (fp32 accumulation, flax semantics)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _fused_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                     num_heads, scale, mode, use_ln, residual):
     """Reference composition (also the backward path)."""
     C = x.shape[-1]
-    qkv = x @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
+    h = layer_norm(x, ln_scale, ln_bias) if use_ln else x
+    qkv = h @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
     q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
     attn = _attention_xla(q, k, v, num_heads, scale, mode)
-    return attn @ wproj.astype(x.dtype) + bproj.astype(x.dtype)
+    out = attn @ wproj.astype(x.dtype) + bproj.astype(x.dtype)
+    return x + out if residual else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def fused_attention_block(x, wqkv, bqkv, wproj, bproj, num_heads, scale,
-                          mode):
-    """qkv projection + single-axis attention + output projection, fused.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def fused_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                          num_heads, scale, mode, use_ln=False,
+                          residual=False):
+    """[LayerNorm ->] qkv projection -> single-axis attention -> output
+    projection [-> +x residual], fused in one kernel per axis group.
 
-    x: (B, F, J, C); wqkv: (C, 3C); wproj: (C, C). Forward runs in one
-    Pallas kernel per axis group; backward recomputes via the XLA
-    composition (activations never stored).
+    x: (B, F, J, C); wqkv: (C, 3C); wproj: (C, C). Backward recomputes via
+    the XLA composition (activations never stored).
     """
-    return _fused_block_pallas(x, wqkv, bqkv, wproj, bproj, num_heads,
-                               scale, mode)
+    return _fused_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                               bproj, num_heads, scale, mode, use_ln,
+                               residual)
 
 
-def _fused_block_fwd(x, wqkv, bqkv, wproj, bproj, num_heads, scale, mode):
-    out = fused_attention_block(x, wqkv, bqkv, wproj, bproj, num_heads,
-                                scale, mode)
-    return out, (x, wqkv, bqkv, wproj, bproj)
+def _fused_block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                     num_heads, scale, mode, use_ln, residual):
+    out = fused_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                                bproj, num_heads, scale, mode, use_ln,
+                                residual)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
 
 
-def _fused_block_bwd(num_heads, scale, mode, res, g):
-    x, wqkv, bqkv, wproj, bproj = res
+def _fused_block_bwd(num_heads, scale, mode, use_ln, residual, res, g):
     _, vjp = jax.vjp(
-        lambda *args: _fused_block_xla(*args, num_heads, scale, mode),
-        x, wqkv, bqkv, wproj, bproj)
+        lambda *args: _fused_block_xla(*args, num_heads, scale, mode,
+                                       use_ln, residual), *res)
     return vjp(g)
 
 

@@ -1,0 +1,83 @@
+"""Fused sub-block kernels (attention and MLP) vs the XLA compositions,
+including the absorbed LayerNorm + residual variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionbert_tpu.ops.attention import (
+    _fused_block_xla, fused_attention_block)
+from motionbert_tpu.ops.fused_mlp import _fused_mlp_xla, fused_mlp_block
+
+
+def _mk(shape, seed):
+    return jnp.asarray(
+        np.random.RandomState(seed).normal(size=shape), jnp.float32)
+
+
+@pytest.mark.parametrize("mode", ["spatial", "temporal"])
+@pytest.mark.parametrize("use_ln,residual", [(False, False), (True, True)])
+def test_fused_attention_block(mode, use_ln, residual):
+    B, F, J, C, H = 2, 9, 17, 32, 4
+    x = _mk((B, F, J, C), 0)
+    ln_s, ln_b = _mk((C,), 1) * 0.1 + 1.0, _mk((C,), 2) * 0.1
+    wqkv, bqkv = _mk((C, 3 * C), 3) * 0.1, _mk((3 * C,), 4) * 0.1
+    wproj, bproj = _mk((C, C), 5) * 0.1, _mk((C,), 6) * 0.1
+    args = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+    scale = (C // H) ** -0.5
+    out = fused_attention_block(*args, H, scale, mode, use_ln, residual)
+    ref = _fused_block_xla(*args, H, scale, mode, use_ln, residual)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
+                               rtol=3e-5)
+    # gradients through the custom VJP
+    g1 = jax.grad(lambda *a: jnp.sum(fused_attention_block(
+        *a, H, scale, mode, use_ln, residual) ** 2), argnums=(0, 3, 5))(*args)
+    g2 = jax.grad(lambda *a: jnp.sum(_fused_block_xla(
+        *a, H, scale, mode, use_ln, residual) ** 2), argnums=(0, 3, 5))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)
+
+
+@pytest.mark.parametrize("use_ln,residual", [(False, False), (True, True)])
+def test_fused_mlp_block(use_ln, residual):
+    T, C, Hd = 37, 32, 64  # deliberately non-multiple-of-tile token count
+    x = _mk((T, C), 0)
+    ln_s, ln_b = _mk((C,), 1) * 0.1 + 1.0, _mk((C,), 2) * 0.1
+    w1, b1 = _mk((C, Hd), 3) * 0.1, _mk((Hd,), 4) * 0.1
+    w2, b2 = _mk((Hd, C), 5) * 0.1, _mk((C,), 6) * 0.1
+    args = (x, ln_s, ln_b, w1, b1, w2, b2)
+    out = fused_mlp_block(*args, use_ln, residual)
+    ref = _fused_mlp_xla(*args, use_ln, residual)
+    # the in-kernel erf approximation is accurate to ~1.5e-7
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+    g1 = jax.grad(lambda *a: jnp.sum(
+        fused_mlp_block(*a, use_ln, residual) ** 2), argnums=(0, 3, 5))(*args)
+    g2 = jax.grad(lambda *a: jnp.sum(
+        _fused_mlp_xla(*a, use_ln, residual) ** 2), argnums=(0, 3, 5))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)
+
+
+def test_full_model_fused_vs_xla_paths():
+    """Whole DSTformer: pallas (fully fused, interpreted on CPU) == xla."""
+    from motionbert_tpu.models.dstformer import DSTformer
+
+    CFG = dict(dim_in=3, dim_out=3, dim_feat=64, dim_rep=64, depth=2,
+               num_heads=4, mlp_ratio=2, num_joints=17, maxlen=27)
+    mx = DSTformer(attn_impl="xla", **CFG)
+    mp = DSTformer(attn_impl="pallas", **CFG)
+    x = _mk((2, 9, 17, 3), 7)
+    v = mx.init(jax.random.PRNGKey(0), x)
+    # identical param trees (checkpoints interchange between paths)
+    import jax.tree_util as jtu
+
+    t1 = {jtu.keystr(k) for k, _ in jtu.tree_flatten_with_path(v)[0]}
+    t2 = {jtu.keystr(k) for k, _ in
+          jtu.tree_flatten_with_path(mp.init(jax.random.PRNGKey(0), x))[0]}
+    assert t1 == t2
+    np.testing.assert_allclose(np.asarray(mx.apply(v, x)),
+                               np.asarray(mp.apply(v, x)), atol=2e-5)
