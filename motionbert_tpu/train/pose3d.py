@@ -253,14 +253,25 @@ def train_with_config(args, opts):
 
     loaders_2d = []
     if args.get("train_2d", False):
-        for ds_cls in (PoseTrackDataset2D, InstaVDataset2D):
+        specs = [
+            (PoseTrackDataset2D,
+             {"data_root": args.get(
+                 "posetrack_root",
+                 "data/motion2d/posetrack18_annotations/train/")},
+             True),   # has_gt (noise aug applies, train.py:328)
+            (InstaVDataset2D,
+             {"data_root": args.get("instav_root",
+                                    "data/motion2d/InstaVariety")},
+             False),  # has_gt=False (train.py:329)
+        ]
+        for ds_cls, kw, has_gt in specs:
             try:
-                ds = ds_cls()
+                ds = ds_cls(**kw)
                 loaders_2d.append(
                     (ds_cls.__name__,
                      BatchLoader(ds, batch_size, shuffle=True, drop_last=True,
                                  seed=opts.seed),
-                     ds_cls is PoseTrackDataset2D))  # has_gt
+                     has_gt))
             except FileNotFoundError as e:
                 print(f"WARNING: 2D dataset {ds_cls.__name__} unavailable "
                       f"({e}); skipping")

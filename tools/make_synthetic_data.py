@@ -169,6 +169,52 @@ def make_mesh_pickle(path, n_videos=4, n_frames=48, seed=0):
     return data
 
 
+def make_posetrack_json(dirpath, n_files=2, n_tracks=3, n_frames=35, seed=0):
+    """Synthetic PoseTrack18 annotation JSONs (dataset_motion_2d.py input)."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(dirpath, exist_ok=True)
+    for fi in range(n_files):
+        annotations = []
+        for tid in range(n_tracks):
+            motion = _smooth_motion(rng, n_frames, n_joints=17, dim=2,
+                                    scale=80.0, center=(300.0, 300.0))
+            # PoseTrack keypoint channel 2 is a 0/1 visibility flag; the
+            # dataset's filters (>=306 valid joints, root visible in all 30
+            # frames) assume that. Hips (11, 12) stay visible.
+            conf = (rng.uniform(0, 1, (n_frames, 17, 1)) > 0.1).astype(float)
+            conf[:, 11] = 1.0
+            conf[:, 12] = 1.0
+            for f in range(n_frames):
+                kpts = np.concatenate([motion[f], conf[f]], axis=1)
+                annotations.append({
+                    "track_id": tid,
+                    "image_id": f,
+                    "keypoints": kpts.ravel().tolist(),
+                })
+        with open(os.path.join(dirpath, f"seq{fi:03d}.json"), "w") as f:
+            json.dump({"annotations": annotations,
+                       "images": [{"id": i} for i in range(n_frames)]}, f)
+    return dirpath
+
+
+def make_instav_npy(dirpath, n_videos=4, frames_per_video=100, seed=0):
+    """Synthetic InstaVariety motion_all.npy + id_all.npy."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(dirpath, exist_ok=True)
+    motions, ids = [], []
+    for v in range(n_videos):
+        n = frames_per_video + v * 13
+        m = _smooth_motion(rng, n, n_joints=17, dim=2, scale=0.3,
+                           center=(0.0, 0.0))
+        conf = rng.uniform(0.3, 1.0, (n, 17, 1))
+        motions.append(np.concatenate([m, conf], axis=-1))
+        ids += [v] * n
+    np.save(os.path.join(dirpath, "motion_all.npy"),
+            np.concatenate(motions).astype(np.float32))
+    np.save(os.path.join(dirpath, "id_all.npy"), np.array(ids))
+    return dirpath
+
+
 def make_all(root):
     make_h36m_pickle(os.path.join(root, "motion3d",
                                   "h36m_synth_cam_source.pkl"))
