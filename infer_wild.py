@@ -55,7 +55,10 @@ def main():
     from motionbert_tpu.models.factory import load_backbone
 
     args = get_config(opts.config)
-    model = load_backbone(args)
+    impl = args.get("attn_impl",
+                    "pallas" if jax.default_backend() in ("tpu", "axon")
+                    else "xla")
+    model = load_backbone(args, attn_impl=impl)
 
     if opts.evaluate:
         if opts.evaluate.endswith(".bin") or opts.evaluate.endswith(".pth"):

@@ -79,8 +79,10 @@ class Mlp(nn.Module):
 
         C = x.shape[-1]
         # fused path also needs the inter-layer dropout inactive (the
-        # reference drops between GELU and fc2, DSTformer.py:79-84)
-        if self.impl == "pallas" and (self.drop == 0.0 or deterministic):
+        # reference drops between GELU and fc2, DSTformer.py:79-84) and a
+        # lane-aligned channel dim
+        if self.impl == "pallas" and C % 128 == 0 and \
+                (self.drop == 0.0 or deterministic):
             w1, b1 = DenseParams(C, self.hidden_features, name="fc1")()
             w2, b2 = DenseParams(self.hidden_features, self.out_features,
                                  name="fc2")()
@@ -177,7 +179,9 @@ class Attention(nn.Module):
         d = C // H
         scale = self.qk_scale if self.qk_scale is not None else d ** -0.5
 
-        if self.mode in ("spatial", "temporal") and self.attn_impl == "pallas":
+        fusable = C % 128 == 0  # Pallas lane alignment
+        if self.mode in ("spatial", "temporal") and fusable \
+                and self.attn_impl == "pallas":
             # fully fused path: [LN +] qkv matmul + attention +
             # out-projection [+ residual] in one kernel; raw params share
             # nn.Dense's tree layout

@@ -260,7 +260,9 @@ def st_attention(q, k, v, mode: str, num_heads: int, scale: float,
     """
     if mode not in ("spatial", "temporal"):
         raise ValueError(f"unknown st_attention mode: {mode}")
-    if impl == "xla":
+    if impl == "xla" or q.shape[-1] % 128 != 0:
+        # Pallas blocks need the channel dim lane-aligned; small models
+        # (tests, Lite variants with C<128) take the XLA path
         return _attention_xla(q, k, v, num_heads, scale, mode)
     return _attention_fused(q, k, v, num_heads, scale, mode)
 

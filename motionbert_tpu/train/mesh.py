@@ -125,7 +125,10 @@ def build_mesh_model(args, smpl_model):
     from motionbert_tpu.models.factory import load_backbone
     from motionbert_tpu.models.mesh_head import MeshRegressor
 
-    backbone = load_backbone(args, attn_impl=args.get("attn_impl", "pallas"))
+    default_impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                    else "xla")
+    backbone = load_backbone(args, attn_impl=args.get("attn_impl",
+                                                      default_impl))
     return MeshRegressor(backbone=backbone, smpl_model=smpl_model,
                          dim_rep=args.dim_rep,
                          num_joints=args.num_joints,
