@@ -51,10 +51,14 @@ def load_checkpoint(path: str) -> dict:
         return pickle.load(f)
 
 
-def load_torch_checkpoint(path: str, model_key: str = "model_pos") -> dict:
+def load_torch_checkpoint(path: str, model_key: str = "model_pos",
+                          bn_names=("bn", "bn1", "bn2")) -> dict:
     """Read a reference torch .bin checkpoint into flax variables.
 
     Needs torch (CPU) installed. Returns {'params': ..., maybe 'batch_stats'}.
+    bn_names: BatchNorm module names (their 1-D 'weight' is a scale, not a
+    kernel) — covers the reference's action/mesh heads (model_action.py:10,
+    model_mesh.py:17-18).
     """
     import torch
 
@@ -64,7 +68,7 @@ def load_torch_checkpoint(path: str, model_key: str = "model_pos") -> dict:
     sd = ckpt[model_key] if model_key in ckpt else (
         ckpt.get("model", ckpt.get("state_dict", ckpt)))
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
-    return torch_state_dict_to_flax(sd)
+    return torch_state_dict_to_flax(sd, bn_names=tuple(bn_names))
 
 
 def load_pretrained_params(init_params, ckpt_params, prefix: str = "") -> tuple:

@@ -7,9 +7,11 @@ replaced by a thread-pool batch loader + device double-buffering: item
 decode is numpy/pickle (releases the GIL for I/O), and batches overlap
 host->HBM transfer with TPU compute.
 
-Device-side augmentation policy: random flip for detector-input training
-clips happens inside the jitted train step (train/pose3d.py), not here —
-the reference flips per-item on the CPU (dataset_motion_3d.py:56-58).
+Device-side augmentation policy: the random horizontal flip for ALL
+training paths (detector-input, synthetic/gt_2d, and the 2D datasets)
+happens inside the jitted train step (train/pose3d.py), not here — the
+reference flips per-item on the CPU (dataset_motion_3d.py:56-58,
+augmentation.py:94-99, dataset_motion_2d.py:119-121).
 """
 
 from __future__ import annotations
@@ -207,6 +209,17 @@ class BatchLoader:
         # fast path: datasets with a native batch gather (data.clipstore)
         get_batch = getattr(self.dataset, "get_batch", None)
 
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer went away, so an
+            # abandoned iterator can't leave this thread pinned on q.put
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with cf.ThreadPoolExecutor(self.num_workers) as pool:
                 try:
@@ -214,12 +227,14 @@ class BatchLoader:
                         if stop.is_set():
                             return
                         if get_batch is not None:
-                            q.put(get_batch(b))
+                            batch = get_batch(b)
                         else:
                             items = list(pool.map(self.dataset.__getitem__, b))
-                            q.put(_collate(items))
+                            batch = _collate(items)
+                        if not put(batch):
+                            return
                 finally:
-                    q.put(None)
+                    put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -231,6 +246,11 @@ class BatchLoader:
                 yield item
         finally:
             stop.set()
+            while not q.empty():  # drain so the producer's final put lands
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def device_prefetch(iterator, size: int = 2, sharding=None):

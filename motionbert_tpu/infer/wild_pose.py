@@ -32,7 +32,8 @@ def run_wild_pose(args, *, json_path: str, out_path: str,
 
     os.makedirs(out_path, exist_ok=True)
 
-    if vid_size is not None:
+    if pixel:
+        # keep relative scale with pixel coordinates (infer_wild.py:57-62)
         wild_dataset = WildDetDataset(json_path, clip_len=clip_len,
                                       vid_size=vid_size, scale_range=None,
                                       focus=focus)
@@ -47,13 +48,11 @@ def run_wild_pose(args, *, json_path: str, out_path: str,
     results_all = []
     for i in range(len(wild_dataset)):
         clip = wild_dataset[i][None]  # (1, T, 17, 3)
-        pred = np.asarray(eval_step(params, jnp.asarray(clip)))[0]
+        pred = np.array(eval_step(params, jnp.asarray(clip))[0])
         if args.get("rootrel", False):
-            pred = pred - pred[:, 0:1, :]  # (T,17,3) root-relative per frame
+            pred[:, 0, :] = 0  # zero the root joint (infer_wild.py:81-82)
         else:
-            # anchor frame-0 root depth at 0 (infer_wild.py:83-85)
-            pred = pred.copy()
-            pred[..., 2] = pred[..., 2] - pred[0:1, 0:1, 2]
+            pred[0, 0, 2] = 0  # zero frame-0 root depth (infer_wild.py:83-85)
         results_all.append(pred)
     results_all = np.concatenate(results_all)
 

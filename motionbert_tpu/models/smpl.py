@@ -123,7 +123,9 @@ class SMPLModel:
                    posedirs=posedirs.astype(np.float32),
                    J_regressor=J_reg, lbs_weights=lbs,
                    J_regressor_h36m=h36m,
-                   mean_pose=np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32),
+                   # identity rotation in this repo's (3, 2) column-major
+                   # rot6d layout: columns b1=(1,0,0), b2=(0,1,0)
+                   mean_pose=np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32),
                                      NUM_JOINTS),
                    mean_shape=np.zeros(num_betas, np.float32))
 

@@ -186,9 +186,7 @@ def _spatial_pallas(q, k, v, num_heads, scale):
     # block-diagonal mask is exact. A partial edge block reads padding rows
     # whose stores Pallas drops; the mask keeps them out of real rows'
     # softmax (padding cols belong to frames >= the real rows' frames).
-    tf = 8
-    while (tf * J) % 8 != 0:  # general J; for J=17 tf=8 works
-        tf += 1
+    tf = 8  # 8 frames/tile: tf*J is sublane-aligned for any J (8*J % 8 == 0)
     bb = _pick_batch_block(B, tf * J * C * q.dtype.itemsize)
     q2, k2, v2 = (x.reshape(B, F * J, C) for x in (q, k, v))
     spec = pl.BlockSpec((bb, tf * J, C), lambda b, t: (b, t, 0),
@@ -354,9 +352,7 @@ def _fused_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         grid = (B // bb, J)
         out_shape = (B, F, J * C)
     else:
-        tf = 8
-        while (tf * J) % 8 != 0:
-            tf += 1
+        tf = 8  # 8*J rows per tile: sublane-aligned for any J
         N, total = tf * J, F * J
         x2 = x.reshape(B, F * J, C)
         bb = _pick_batch_block(B, N * C * x.dtype.itemsize)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from motionbert_tpu.ops.attention import _on_tpu, layer_norm
+from motionbert_tpu.ops.attention import _ln_rows, _on_tpu, layer_norm
 
 
 def _dot(a, b):
@@ -37,15 +37,8 @@ def _erf(x):
 def _fused_mlp_kernel(use_ln, residual, x_ref, ln_s_ref, ln_b_ref,
                       w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     xb = x_ref[:]  # (T, C)
-    if use_ln:
-        xf = xb.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
-        h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
-             * ln_s_ref[0].astype(jnp.float32)
-             + ln_b_ref[0].astype(jnp.float32)).astype(xb.dtype)
-    else:
-        h = xb
+    h = _ln_rows(xb, ln_s_ref[0], ln_b_ref[0]).astype(xb.dtype) \
+        if use_ln else xb
     h = _dot(h, w1_ref[:]) + b1_ref[0]           # (T, hidden) f32
     # exact-erf GELU (torch nn.GELU default). Mosaic lowers neither erf nor
     # erfc, so erf is computed with the Abramowitz-Stegun 7.1.26 rational

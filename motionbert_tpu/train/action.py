@@ -55,13 +55,21 @@ def make_action_train_step(model):
     return train_step
 
 
+_EVAL_CACHE: dict = {}
+
+
 def make_action_eval_step(model):
+    key = id(model)
+    if key in _EVAL_CACHE:
+        return _EVAL_CACHE[key][1]
+
     @jax.jit
     def eval_step(params, extra_vars, batch_input):
         logits = model.apply({"params": params, **(extra_vars or {})},
                              batch_input, deterministic=True)
         return logits.astype(jnp.float32)
 
+    _EVAL_CACHE[key] = (model, eval_step)
     return eval_step
 
 

@@ -40,12 +40,20 @@ def make_supcon_train_step(model, n_views: int, hidden_dim: int,
     return train_step
 
 
+_EMBED_CACHE: dict = {}
+
+
 def extract_feats(loader, model, params):
     import numpy as np
 
-    @jax.jit
-    def embed(params, x):
-        return model.apply({"params": params}, x, deterministic=True)
+    if id(model) in _EMBED_CACHE:
+        embed = _EMBED_CACHE[id(model)][1]
+    else:
+        @jax.jit
+        def embed(params, x):
+            return model.apply({"params": params}, x, deterministic=True)
+
+        _EMBED_CACHE[id(model)] = (model, embed)
 
     feats, gts = [], []
     full_bs = None

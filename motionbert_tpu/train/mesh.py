@@ -47,10 +47,17 @@ def make_mesh_train_step(model, lambdas: dict, loss_type: str = "L1"):
     return train_step
 
 
+_EVAL_CACHE: dict = {}
+
+
 def make_mesh_eval_step(model, smpl_model, flip_tta: bool):
     """Flip-averaged inference: the flipped prediction is mapped back by
     flipping the predicted thetas and re-running the SMPL layer
-    (reference train_mesh.py:83-108)."""
+    (reference train_mesh.py:83-108). Memoized by model identity so
+    repeated validation calls reuse one traced step."""
+    key = (id(model), flip_tta)
+    if key in _EVAL_CACHE:
+        return _EVAL_CACHE[key][1]
 
     @jax.jit
     def eval_step(params, extra_vars, batch_input):
@@ -76,6 +83,7 @@ def make_mesh_eval_step(model, smpl_model, flip_tta: bool):
         }
         return {k: (out[k] + back[k]) * 0.5 for k in out}
 
+    _EVAL_CACHE[key] = (model, eval_step)
     return eval_step
 
 

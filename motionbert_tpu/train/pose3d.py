@@ -95,9 +95,27 @@ def make_train_step(model, lambdas: dict, *, rootrel: bool, no_conf: bool,
     return train_step
 
 
+
+# Builders are memoized by model identity: rebuilding the closure each call
+# would defeat jax.jit's trace cache (one full retrace per epoch; the
+# remote-compile TPU path makes that minutes of dead time). The cache holds
+# a strong model ref so ids stay valid.
+_STEP_CACHE: dict = {}
+
+
+def _memo(key, build):
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = build()
+    return _STEP_CACHE[key]
+
+
 def make_eval_step(model, *, no_conf: bool, flip_tta: bool):
     """Flip-averaged inference step (reference train.py:66-72)."""
+    return _memo((id(model), model, "eval", no_conf, flip_tta),
+                 lambda: _build_eval_step(model, no_conf, flip_tta))
 
+
+def _build_eval_step(model, no_conf, flip_tta):
     @jax.jit
     def eval_step(params, batch_input):
         if no_conf:
@@ -353,10 +371,14 @@ def train_with_config(args, opts):
             args.get("noise_path", "params/synthetic_noise.npz"),
             args.get("d2c_params_path", "params/d2c_params.pkl"))
 
-    # detector-input 3D training flips on device; synthetic/gt_2d clips are
-    # built from (already augmented) 3D in the loader, so no device flip
-    flip_aug = bool(args.get("flip", False)) and not (
-        args.get("synthetic", False) or args.get("gt_2d", False))
+    # Random flip runs on-device inside the train step for every data path
+    # (detector-input, synthetic/gt_2d, and 2D datasets). Flipping input and
+    # target jointly is equivalent to the reference's host-side flips: for
+    # synthetic clips the 2D input is derived from the 3D target
+    # (dataset_motion_3d.py:49-53 after augment3D's flip), and the 2D
+    # datasets return identical (input, target) pairs (dataset_motion_2d.py
+    # :119-121 flips the one tensor).
+    flip_aug = bool(args.get("flip", False))
     train_step = make_train_step(
         model, {k: args.get(k, 0.0) for k in
                 ("lambda_scale", "lambda_3d_velocity", "lambda_lv",

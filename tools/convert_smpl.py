@@ -88,9 +88,10 @@ def convert_smpl(smpl_pkl: str, out: str, data_dir: str | None = None):
             arrays["mean_pose"] = np.asarray(z["pose"], np.float32).ravel()
             arrays["mean_shape"] = np.asarray(z["shape"], np.float32).ravel()
 
+    # identity rotation in the (3, 2) column-major rot6d layout
     arrays.setdefault(
         "mean_pose",
-        np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32), 24))
+        np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32), 24))
     arrays.setdefault("mean_shape", np.zeros(10, np.float32))
 
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
