@@ -75,6 +75,40 @@ def _attention_xla(q, k, v, num_heads, scale, mode):
     return _merge_heads(jnp.einsum(inv, out))
 
 
+def _attention_xla_spatial_grouped(q, k, v, num_heads, scale, tf: int = 8):
+    """Spatial attention as grouped block-diagonal masked attention in XLA.
+
+    Mathematically identical to per-frame softmax (masked cols underflow to
+    exactly 0), but the score tensor is (B, F/tf, H, tf*J, tf*J) — ~1.9x TPU
+    tile padding instead of the 10.6x of the per-frame (..., 17, 17) layout.
+    Used on the backward path of the fused kernels, where the naive layout
+    OOMs HBM at training batch sizes.
+    """
+    B, F, J, C = q.shape
+    H = num_heads
+    d = C // H
+    Fp = ((F + tf - 1) // tf) * tf
+    pad = Fp - F
+    if pad:
+        padw = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v = (jnp.pad(x, padw) for x in (q, k, v))
+    G, N = Fp // tf, tf * J
+
+    def to_groups(x):  # (B, Fp, J, C) -> (B, G, H, N, d)
+        x = x.reshape(B, G, N, H, d)
+        return jnp.einsum("bgnhd->bghnd", x)
+
+    qg, kg, vg = (to_groups(x) for x in (q, k, v))
+    row_f = np.arange(N) // J
+    mask = (row_f[:, None] == row_f[None, :])
+    s = jnp.einsum("bghnd,bghmd->bghnm", qg, kg) * scale
+    s = jnp.where(mask, s.astype(jnp.float32), -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(qg.dtype)
+    out = jnp.einsum("bghnm,bghmd->bghnd", p, vg)
+    out = jnp.einsum("bghnd->bgnhd", out).reshape(B, Fp, J, C)
+    return out[:, :F]
+
+
 # ---------------------------------------------------------------------------
 # Fused Pallas kernels
 # ---------------------------------------------------------------------------
@@ -221,6 +255,12 @@ def _attention_fused_fwd(q, k, v, num_heads, scale, mode):
 def _attention_fused_bwd(num_heads, scale, mode, res, g):
     """Analytic attention gradient, recomputing P (einsum/XLA path)."""
     q, k, v = res
+    if mode == "spatial":
+        # grouped layout: ~1.9x score padding instead of 10.6x (HBM)
+        _, vjp = jax.vjp(
+            lambda q, k, v: _attention_xla_spatial_grouped(
+                q, k, v, num_heads, scale), q, k, v)
+        return vjp(g)
     qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
     gh = _split_heads(g, num_heads)
     if mode == "spatial":
@@ -391,12 +431,17 @@ def layer_norm(x, scale, bias, eps=1e-6):
 
 def _fused_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                      num_heads, scale, mode, use_ln, residual):
-    """Reference composition (also the backward path)."""
+    """Reference composition (also the backward path). Spatial uses the
+    grouped block-diagonal layout so backward score tensors stay ~1.9x
+    padded instead of 10.6x (HBM-critical at training batch sizes)."""
     C = x.shape[-1]
     h = layer_norm(x, ln_scale, ln_bias) if use_ln else x
     qkv = h @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
     q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
-    attn = _attention_xla(q, k, v, num_heads, scale, mode)
+    if mode == "spatial":
+        attn = _attention_xla_spatial_grouped(q, k, v, num_heads, scale)
+    else:
+        attn = _attention_xla(q, k, v, num_heads, scale, mode)
     out = attn @ wproj.astype(x.dtype) + bproj.astype(x.dtype)
     return x + out if residual else out
 

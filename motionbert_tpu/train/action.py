@@ -112,7 +112,8 @@ def build_action_model(args):
     from motionbert_tpu.models.action_heads import ActionNet
     from motionbert_tpu.models.factory import load_backbone
 
-    backbone = load_backbone(args, attn_impl=args.get("attn_impl", "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"))
+    backbone = load_backbone(args, attn_impl=args.get("attn_impl", "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"),
+                             remat=args.get("remat", True))
     return ActionNet(
         backbone=backbone, dim_rep=args.dim_rep,
         num_classes=args.get("action_classes", 60),

@@ -136,7 +136,8 @@ def build_mesh_model(args, smpl_model):
     default_impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
                     else "xla")
     backbone = load_backbone(args, attn_impl=args.get("attn_impl",
-                                                      default_impl))
+                                                      default_impl),
+                             remat=args.get("remat", True))
     return MeshRegressor(backbone=backbone, smpl_model=smpl_model,
                          dim_rep=args.dim_rep,
                          num_joints=args.num_joints,

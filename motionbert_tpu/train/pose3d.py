@@ -299,7 +299,8 @@ def train_with_config(args, opts):
         data_stride_train=args.data_stride, data_stride_test=args.clip_len,
         dt_root=args.get("dt_root", "data/motion3d"), dt_file=args.dt_file)
 
-    model = load_backbone(args, attn_impl=args.get("attn_impl", "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"))
+    model = load_backbone(args, attn_impl=args.get("attn_impl", "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"),
+                          remat=args.get("remat", True))
     rng = jax.random.PRNGKey(opts.seed)
     rng, init_rng = jax.random.split(rng)
     params = model.init(
