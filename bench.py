@@ -29,7 +29,8 @@ A100_REFERENCE_CLIPS_PER_SEC = 120.0
 
 def measure(fwd, variables, x0, iters=5, reps=3):
     out = fwd(variables, x0)
-    out.block_until_ready()  # compile + warm
+    out.block_until_ready()       # compile + warm (f32 input signature)
+    fwd(variables, out).block_until_ready()  # warm the chained bf16 signature
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -49,10 +50,10 @@ def main():
     import jax
     import jax.numpy as jnp
     from motionbert_tpu.models.dstformer import DSTformer
+    from motionbert_tpu.models.factory import FLAGSHIP_CONFIG
 
-    flagship = dict(dim_in=3, dim_out=3, dim_feat=512, dim_rep=512, depth=5,
-                    num_heads=8, mlp_ratio=2, num_joints=17, maxlen=243)
-    model = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas", **flagship)
+    model = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas",
+                      **FLAGSHIP_CONFIG)
 
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 243, 17, 3)))
     fwd = jax.jit(lambda v, x: model.apply(v, x))

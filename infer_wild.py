@@ -54,11 +54,14 @@ def main():
     from motionbert_tpu.infer.wild_pose import run_wild_pose
     from motionbert_tpu.models.factory import load_backbone
 
+    from motionbert_tpu.models.factory import default_attn_impl
+
     args = get_config(opts.config)
-    impl = args.get("attn_impl",
-                    "pallas" if jax.default_backend() in ("tpu", "axon")
-                    else "xla")
-    model = load_backbone(args, attn_impl=impl)
+    model = load_backbone(
+        args, attn_impl=args.get("attn_impl", default_attn_impl()))
+    if opts.pixel and not opts.vid_path:
+        raise SystemExit("--pixel requires --vid_path (pixel-space output "
+                         "needs the video resolution)")
 
     if opts.evaluate:
         if opts.evaluate.endswith(".bin") or opts.evaluate.endswith(".pth"):
@@ -74,13 +77,9 @@ def main():
     vid_size = None
     fps_in = 30.0
     if opts.vid_path:
-        import imageio
+        from motionbert_tpu.infer import read_video_meta
 
-        reader = imageio.get_reader(opts.vid_path)
-        meta = reader.get_meta_data()
-        fps_in = meta.get("fps", 30.0)
-        vid_size = meta.get("size")
-        reader.close()
+        fps_in, vid_size = read_video_meta(opts.vid_path)
 
     results = run_wild_pose(
         args, json_path=opts.json_path, out_path=opts.out_path,

@@ -51,7 +51,29 @@ def main():
                  os.path.join(args.data_root, "smpl_model.npz")))
     model = build_mesh_model(args, smpl_model)
 
-    if opts.evaluate:
+    if opts.pixel and not opts.vid_path:
+        raise SystemExit("--pixel requires --vid_path (pixel-space output "
+                         "needs the video resolution)")
+    if opts.evaluate and (opts.evaluate.endswith(".bin")
+                          or opts.evaluate.endswith(".pth")):
+        # reference torch checkpoint: tolerant name+shape-matched load onto
+        # the initialized tree (BN stats included where they match)
+        from motionbert_tpu.core.checkpoint import (
+            load_pretrained_params, load_torch_checkpoint)
+
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, opts.clip_len, args.num_joints, 3)))
+        converted = load_torch_checkpoint(opts.evaluate, model_key="model")
+        params, matched, _ = load_pretrained_params(
+            variables["params"], converted["params"])
+        print("load_weight", len(matched))
+        extra_vars = {k: v for k, v in variables.items() if k != "params"}
+        if converted.get("batch_stats") and "batch_stats" in extra_vars:
+            bs, m2, _ = load_pretrained_params(
+                extra_vars["batch_stats"], converted["batch_stats"])
+            extra_vars["batch_stats"] = bs
+    elif opts.evaluate:
         payload = load_checkpoint(opts.evaluate)
         params = payload["params"]
         extra_vars = payload.get("extra_vars")
@@ -66,13 +88,9 @@ def main():
     vid_size = None
     fps_in = 30.0
     if opts.vid_path:
-        import imageio
+        from motionbert_tpu.infer import read_video_meta
 
-        reader = imageio.get_reader(opts.vid_path)
-        meta = reader.get_meta_data()
-        fps_in = meta.get("fps", 30.0)
-        vid_size = meta.get("size")
-        reader.close()
+        fps_in, vid_size = read_video_meta(opts.vid_path)
 
     verts, _ = run_wild_mesh(
         args, json_path=opts.json_path, out_path=opts.out_path, model=model,

@@ -15,6 +15,20 @@ from motionbert_tpu.models.dstformer import DSTformer
 
 _BACKBONES: Dict[str, Callable] = {}
 
+# The published MotionBERT architecture (README.md:78; configs/pose3d/*):
+# the flagship model for benchmarks and the graft entry point.
+FLAGSHIP_CONFIG = dict(dim_in=3, dim_out=3, dim_feat=512, dim_rep=512,
+                       depth=5, num_heads=8, mlp_ratio=2, num_joints=17,
+                       maxlen=243)
+
+
+def default_attn_impl() -> str:
+    """Fused Pallas kernels on TPU; XLA elsewhere (interpreted Pallas would
+    make CPU runs needlessly slow)."""
+    import jax
+
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+
 
 def register_backbone(name: str):
     def deco(fn):

@@ -110,9 +110,10 @@ def _logsumexp(x):
 
 def build_action_model(args):
     from motionbert_tpu.models.action_heads import ActionNet
-    from motionbert_tpu.models.factory import load_backbone
+    from motionbert_tpu.models.factory import (
+        default_attn_impl, load_backbone)
 
-    backbone = load_backbone(args, attn_impl=args.get("attn_impl", "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"),
+    backbone = load_backbone(args, attn_impl=args.get("attn_impl", default_attn_impl()),
                              remat=args.get("remat", True))
     return ActionNet(
         backbone=backbone, dim_rep=args.dim_rep,

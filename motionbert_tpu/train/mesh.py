@@ -130,14 +130,13 @@ def validate(test_loader, model, params, extra_vars, smpl_model, args,
 
 
 def build_mesh_model(args, smpl_model):
-    from motionbert_tpu.models.factory import load_backbone
+    from motionbert_tpu.models.factory import (
+        default_attn_impl, load_backbone)
     from motionbert_tpu.models.mesh_head import MeshRegressor
 
-    default_impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
-                    else "xla")
-    backbone = load_backbone(args, attn_impl=args.get("attn_impl",
-                                                      default_impl),
-                             remat=args.get("remat", True))
+    backbone = load_backbone(
+        args, attn_impl=args.get("attn_impl", default_attn_impl()),
+        remat=args.get("remat", True))
     return MeshRegressor(backbone=backbone, smpl_model=smpl_model,
                          dim_rep=args.dim_rep,
                          num_joints=args.num_joints,

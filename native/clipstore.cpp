@@ -77,24 +77,30 @@ class ThreadPool {
   }
 
   void run(std::vector<std::function<void()>> jobs) {
-    std::atomic<size_t> remaining(jobs.size());
-    std::mutex done_mu;
-    std::condition_variable done_cv;
+    // Completion state lives on the heap and is captured by value: a
+    // stack-local mutex/condvar would race with the last worker, which can
+    // decrement the counter, lose the CPU, and touch the (already
+    // destroyed) synchronization objects after run() returned.
+    struct Done {
+      std::mutex mu;
+      std::condition_variable cv;
+      size_t remaining;
+    };
+    auto done = std::make_shared<Done>();
+    done->remaining = jobs.size();
     {
       std::lock_guard<std::mutex> lk(mu_);
       for (auto& j : jobs) {
-        jobs_.emplace_back([&, job = std::move(j)] {
+        jobs_.emplace_back([done, job = std::move(j)] {
           job();
-          if (remaining.fetch_sub(1) == 1) {
-            std::lock_guard<std::mutex> dlk(done_mu);
-            done_cv.notify_one();
-          }
+          std::lock_guard<std::mutex> dlk(done->mu);
+          if (--done->remaining == 0) done->cv.notify_one();
         });
       }
     }
     cv_.notify_all();
-    std::unique_lock<std::mutex> lk(done_mu);
-    done_cv.wait(lk, [&] { return remaining.load() == 0; });
+    std::unique_lock<std::mutex> lk(done->mu);
+    done->cv.wait(lk, [&] { return done->remaining == 0; });
   }
 
  private:
@@ -155,11 +161,15 @@ void* mbcs_open(const char* path, int n_threads) {
     s->input = nullptr;
     s->label = data;
   }
-  // sanity: file must hold everything it claims
-  size_t need = kHeaderBytes + (1 + (s->hdr.has_input ? 1 : 0)) *
-                                   s->hdr.n_clips * s->clip_floats *
-                                   sizeof(float);
-  if (need > s->mapped_bytes) {
+  // sanity: file must hold everything it claims (division form — the
+  // multiplicative check can overflow size_t on a corrupt header and
+  // accept out-of-mapping indices)
+  const size_t streams = 1 + (s->hdr.has_input ? 1 : 0);
+  const size_t clip_bytes = s->clip_floats * sizeof(float);
+  bool ok = s->mapped_bytes >= kHeaderBytes && clip_bytes > 0 &&
+            (s->mapped_bytes - kHeaderBytes) / clip_bytes / streams >=
+                s->hdr.n_clips;
+  if (!ok) {
     munmap(base, st.st_size);
     ::close(fd);
     delete s;

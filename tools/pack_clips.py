@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def pack_clip_dir(clip_dir: str, out: str):
     from motionbert_tpu.data.clipstore import write_clipstore
 
-    names = sorted(os.listdir(clip_dir))
+    names = sorted(n for n in os.listdir(clip_dir) if n.endswith(".pkl"))
+    if not names:
+        raise FileNotFoundError(f"no .pkl clips in {clip_dir}")
     inputs, labels = [], []
     has_input = None
     for name in names:
@@ -32,6 +34,10 @@ def pack_clip_dir(clip_dir: str, out: str):
             d = pickle.load(f)
         if has_input is None:
             has_input = d["data_input"] is not None
+        elif (d["data_input"] is not None) != has_input:
+            raise ValueError(
+                f"{name}: data_input presence differs from the first clip — "
+                f"mixed stores would silently drop detections")
         labels.append(np.asarray(d["data_label"], np.float32))
         if has_input:
             inputs.append(np.asarray(d["data_input"], np.float32))

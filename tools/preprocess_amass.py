@@ -36,8 +36,14 @@ def amass_to_h36m_joints(all_motions, smpl_model, batch_frames=512):
 
     sequences = []
     for x in all_motions:
-        poses = np.asarray(x["poses"], np.float32)[:, :72]
-        n = len(poses)
+        # AMASS poses are SMPL-H: [0:3] root + [3:66] 21 body joints +
+        # [66:] finger articulation. SMPL's two hand joints (22, 23) have
+        # no SMPL-H equivalent in the body block — zero them rather than
+        # aliasing finger parameters onto them.
+        raw = np.asarray(x["poses"], np.float32)
+        n = len(raw)
+        poses = np.zeros((n, 72), np.float32)
+        poses[:, :66] = raw[:, :66]
         betas = np.broadcast_to(
             np.asarray(x.get("betas", np.zeros(10)), np.float32)[:10],
             (n, 10)).copy()
