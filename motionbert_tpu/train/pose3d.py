@@ -136,17 +136,19 @@ BLOCK_LIST = ("s_09_act_05_subact_02", "s_09_act_10_subact_02",
 
 
 def evaluate(args, model, params, test_loader, datareader,
-             return_results: bool = False):
+             return_results: bool = False, mesh=None):
     """Full H36M eval protocol (reference train.py:56-153).
 
     Batched flip-TTA inference -> denormalize to pixels -> per-clip 2.5d
     scaling -> root-relative -> per-frame error accumulation with overlap
-    counts -> per-action P1 (MPJPE) / P2 (P-MPJPE) means. Returns
+    counts -> per-action P1 (MPJPE) / P2 (P-MPJPE) means. With a device
+    mesh, eval batches shard over the data axis like training. Returns
     (e1, e2, results_all[, per_action dict]).
     """
     import numpy as np
 
     from motionbert_tpu.geometry.procrustes import mpjpe, p_mpjpe
+    from motionbert_tpu.parallel import shard_batch
 
     eval_step = make_eval_step(model, no_conf=args.get("no_conf", False),
                                flip_tta=args.get("flip", False))
@@ -158,7 +160,10 @@ def evaluate(args, model, params, test_loader, datareader,
         if n < full_bs:  # pad the tail batch: one compiled shape on TPU
             batch_input = np.concatenate(
                 [batch_input, np.repeat(batch_input[-1:], full_bs - n, 0)])
-        pred = eval_step(params, jnp.asarray(batch_input))
+        batch_input = jnp.asarray(batch_input)
+        if mesh is not None:
+            batch_input = shard_batch(batch_input, mesh)
+        pred = eval_step(params, batch_input)
         pred = np.array(pred[:n])  # writable host copy
         batch_input = batch_input[:n]
         if args.get("rootrel", False):
@@ -343,7 +348,8 @@ def train_with_config(args, opts):
 
     if opts.evaluate:
         e1, e2, _, per_action = evaluate(args, model, params, test_loader,
-                                         datareader, return_results=True)
+                                         datareader, return_results=True,
+                                         mesh=mesh)
         _print_eval_table(per_action, e1, e2)
         return {"e1": e1, "e2": e2}
 
@@ -424,7 +430,7 @@ def train_with_config(args, opts):
         else:
             e1, e2, _, per_action = evaluate(
                 args, model, state.params, test_loader, datareader,
-                return_results=True)
+                return_results=True, mesh=mesh)
             _print_eval_table(per_action, e1, e2)
             print(f"[{epoch + 1}] time {elapsed:.2f} lr {lr:f} "
                   f"3d_train {losses['3d_pos'].avg:f} e1 {e1:f} e2 {e2:f}")
