@@ -429,6 +429,190 @@ def layer_norm(x, scale, bias, eps=1e-6):
     return out.astype(x.dtype)
 
 
+# --- fused backward: recomputes LN/qkv/attention in VMEM and produces dx
+# plus weight/bias/LN gradients. Weight-gradient outputs use constant-index
+# blocks, which stay VMEM-resident across the (sequential) grid and
+# accumulate; they are zero-initialized by the first program.
+
+def _fused_block_bwd_kernel(num_heads, scale, num_joints, total_tokens, mode,
+                            use_ln, residual,
+                            x_ref, g_ref, ln_s_ref, ln_b_ref, wqkv_ref,
+                            bqkv_ref, wproj_ref,
+                            dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
+                            dwproj_ref, dbproj_ref,
+                            qkv_scr, dqkv_scr, attn_scr):
+    from jax.experimental import pallas as pl
+
+    N = x_ref.shape[1]
+    C = x_ref.shape[-1]
+    d = C // num_heads
+    eps = 1e-6
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _zero():
+        dls_ref[:] = jnp.zeros_like(dls_ref)
+        dlb_ref[:] = jnp.zeros_like(dlb_ref)
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+
+    same_mask = None
+    if mode == "spatial":
+        start = pl.program_id(1) * N
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) + start
+        row_valid = row_ids < total_tokens
+        row_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // num_joints
+        col_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // num_joints
+        same_mask = row_f == col_f
+        xb = jnp.where(row_valid, x_ref[0], 0)
+        gb = jnp.where(row_valid, g_ref[0], 0)
+    else:
+        xb = x_ref[0]
+        gb = g_ref[0]
+    dtype = xb.dtype
+
+    # ---- forward recompute (VMEM) ----
+    if use_ln:
+        xf = xb.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+        rstd = jax.lax.rsqrt(var + eps)
+        xhat = (xf - mu) * rstd
+        hf = xhat * ln_s_ref[0].astype(jnp.float32) \
+            + ln_b_ref[0].astype(jnp.float32)
+        hb = hf.astype(dtype)
+    else:
+        hb = xb
+    qkv_scr[:] = _dot(hb, wqkv_ref[:]) + bqkv_ref[0]  # (N, 3C) f32
+
+    # ---- output projection backward ----
+    # dattn = g W_proj^T ; dW_proj += attn^T g ; db_proj += colsum(g)
+    dattn = jax.lax.dot_general(
+        gb, wproj_ref[:].astype(dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (N, C)
+    dbproj_ref[0] += jnp.sum(gb.astype(jnp.float32), axis=0)
+
+    # ---- attention forward + backward per head ----
+    for h in range(num_heads):
+        qs = slice(h * d, (h + 1) * d)
+        ks = slice(C + h * d, C + (h + 1) * d)
+        vs = slice(2 * C + h * d, 2 * C + (h + 1) * d)
+        q = qkv_scr[:, qs].astype(dtype)
+        k = qkv_scr[:, ks].astype(dtype)
+        v = qkv_scr[:, vs].astype(dtype)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if same_mask is not None:
+            s = jnp.where(same_mask, s, jnp.float32(-1e30))
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)   # (N, N) f32
+        pb = p.astype(dtype)
+        attn_scr[:, h * d:(h + 1) * d] = _dot(pb, v).astype(dtype)
+
+        da = dattn[:, h * d:(h + 1) * d].astype(dtype)   # (N, d)
+        dv = jax.lax.dot_general(pb, da, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(da, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(dtype)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqkv_scr[:, qs] = dq
+        dqkv_scr[:, ks] = dk
+        dqkv_scr[:, vs] = dv
+
+    dwproj_ref[:] += jax.lax.dot_general(
+        attn_scr[:], gb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # ---- qkv projection backward ----
+    dqkv = dqkv_scr[:].astype(dtype)
+    dwqkv_ref[:] += jax.lax.dot_general(
+        hb, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv_ref[0] += jnp.sum(dqkv_scr[:], axis=0)
+    dh = jax.lax.dot_general(
+        dqkv, wqkv_ref[:].astype(dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (N, C)
+
+    # ---- LayerNorm backward + residual ----
+    if use_ln:
+        dls_ref[0] += jnp.sum(dh * xhat, axis=0)
+        dlb_ref[0] += jnp.sum(dh, axis=0)
+        dy = dh * ln_s_ref[0].astype(jnp.float32)
+        m1 = jnp.mean(dy, axis=-1, keepdims=True)
+        m2 = jnp.mean(dy * xhat, axis=-1, keepdims=True)
+        dx = rstd * (dy - m1 - xhat * m2)
+    else:
+        dx = dh
+    if residual:
+        dx = dx + gb.astype(jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _fused_block_bwd_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                            num_heads, scale, mode, use_ln, residual, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, F, J, C = x.shape
+    if mode == "temporal":
+        N, total = F, None
+        reshape = (B, F, J * C)
+        x_spec = pl.BlockSpec((1, F, C), lambda b, t: (b, 0, t),
+                              memory_space=pltpu.VMEM)
+        grid = (B, J)
+    else:
+        tf = 8
+        N, total = tf * J, F * J
+        reshape = (B, F * J, C)
+        x_spec = pl.BlockSpec((1, N, C), lambda b, t: (b, t, 0),
+                              memory_space=pltpu.VMEM)
+        grid = (B, (F + tf - 1) // tf)
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, t: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_fused_block_bwd_kernel, num_heads, scale, J,
+                          total, mode, use_ln, residual),
+        grid=grid,
+        in_specs=[x_spec, x_spec, const((1, C)), const((1, C)),
+                  const(wqkv.shape), const((1, 3 * C)), const(wproj.shape)],
+        out_specs=(x_spec, const((1, C)), const((1, C)), const(wqkv.shape),
+                   const((1, 3 * C)), const(wproj.shape), const((1, C))),
+        out_shape=(
+            jax.ShapeDtypeStruct(reshape, x.dtype),       # dx
+            jax.ShapeDtypeStruct((1, C), f32),            # dln_scale
+            jax.ShapeDtypeStruct((1, C), f32),            # dln_bias
+            jax.ShapeDtypeStruct(wqkv.shape, f32),        # dwqkv
+            jax.ShapeDtypeStruct((1, 3 * C), f32),        # dbqkv
+            jax.ShapeDtypeStruct(wproj.shape, f32),       # dwproj
+            jax.ShapeDtypeStruct((1, C), f32),            # dbproj
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, 3 * C), f32),   # qkv
+            pltpu.VMEM((N, 3 * C), f32),   # dqkv
+            pltpu.VMEM((N, C), x.dtype),   # attn
+        ],
+        interpret=not _on_tpu(),
+    )(x.reshape(reshape), g.reshape(reshape),
+      ln_scale.reshape(1, -1), ln_bias.reshape(1, -1), wqkv,
+      bqkv.reshape(1, -1), wproj)
+    dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = outs
+    zero_ln = (jnp.zeros_like(ln_scale), jnp.zeros_like(ln_bias))
+    return (dx.reshape(B, F, J, C).astype(x.dtype),
+            dls[0].astype(ln_scale.dtype) if use_ln else zero_ln[0],
+            dlb[0].astype(ln_bias.dtype) if use_ln else zero_ln[1],
+            dwqkv.astype(wqkv.dtype), dbqkv[0].astype(bqkv.dtype),
+            dwproj.astype(wproj.dtype), dbproj[0].astype(wproj.dtype))
+
+
 def _fused_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                      num_heads, scale, mode, use_ln, residual):
     """Reference composition (also the backward path). Spatial uses the
@@ -470,10 +654,11 @@ def _fused_block_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
 
 def _fused_block_bwd(num_heads, scale, mode, use_ln, residual, res, g):
-    _, vjp = jax.vjp(
-        lambda *args: _fused_block_xla(*args, num_heads, scale, mode,
-                                       use_ln, residual), *res)
-    return vjp(g)
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj = res
+    dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = _fused_block_bwd_pallas(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, num_heads, scale, mode,
+        use_ln, residual, g)
+    return dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj
 
 
 fused_attention_block.defvjp(_fused_block_fwd, _fused_block_bwd)

@@ -136,7 +136,7 @@ def build_mesh_model(args, smpl_model):
 
     backbone = load_backbone(
         args, attn_impl=args.get("attn_impl", default_attn_impl()),
-        remat=args.get("remat", True))
+        remat=args.get("remat", False))
     return MeshRegressor(backbone=backbone, smpl_model=smpl_model,
                          dim_rep=args.dim_rep,
                          num_joints=args.num_joints,

@@ -306,7 +306,7 @@ def train_with_config(args, opts):
         dt_root=args.get("dt_root", "data/motion3d"), dt_file=args.dt_file)
 
     model = load_backbone(args, attn_impl=args.get("attn_impl", default_attn_impl()),
-                          remat=args.get("remat", True))
+                          remat=args.get("remat", False))
     rng = jax.random.PRNGKey(opts.seed)
     rng, init_rng = jax.random.split(rng)
     params = model.init(
