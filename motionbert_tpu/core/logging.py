@@ -37,3 +37,16 @@ class MetricsWriter:
         self._f.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class TextLogger:
+    """Append-only text log file (reference tools.py:10-17 surface)."""
+
+    def __init__(self, log_path: str):
+        self.log_path = log_path
+        with open(self.log_path, "w") as f:
+            f.write("")
+
+    def log(self, log: str):
+        with open(self.log_path, "a+") as f:
+            f.write(log + "\n")

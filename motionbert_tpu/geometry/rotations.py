@@ -170,3 +170,35 @@ def flip_thetas_np(thetas):
     thetas = np.asarray(thetas)
     flipped = np.concatenate([thetas[..., :1], -thetas[..., 1:]], axis=-1)
     return flipped[..., SMPL_FLIP_PERM, :]
+
+
+def rot6d_to_rotmat_spin(x):
+    """SPIN's rot6d variant (reference utils_mesh.py:294-313): plain
+    normalize (no eps clamp) before Gram-Schmidt."""
+    shape = x.shape[:-1]
+    x = x.reshape(-1, 3, 2)
+    a1 = x[:, :, 0]
+    a2 = x[:, :, 1]
+    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True)
+    inp = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = inp / jnp.linalg.norm(inp, axis=-1, keepdims=True)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-1).reshape(shape + (3, 3))
+
+
+def rectify_pose(pose):
+    """Rotate a global SMPL pose by pi about x (fixes "upside down" people;
+    reference utils_mesh.py:441-456, without the cv2 dependency).
+
+    pose: (72,) axis-angle; returns a copy with the root rotation composed
+    with R_x(pi).
+    """
+    pose = np.asarray(pose).copy()
+    R_mod = np.asarray(batch_rodrigues(
+        jnp.asarray([[np.pi, 0.0, 0.0]], dtype=jnp.float32)))[0]
+    R_root = np.asarray(batch_rodrigues(
+        jnp.asarray(pose[None, :3], dtype=jnp.float32)))[0]
+    new_root = R_root @ R_mod
+    aa = np.asarray(rotmat_to_angle_axis(jnp.asarray(new_root[None])))[0]
+    pose[:3] = aa
+    return pose

@@ -116,3 +116,30 @@ def evaluate_mesh(results):
         "mpjpe_17j": float(mpjpe_17j.mean()),
         "pa_mpjpe_17j": float(pa_mpjpe_17j.mean()),
     }
+
+
+def compute_error(smpl_output, data_gt):
+    """Batch-mean MPJPE/MPVE, root-relative (reference utils_mesh.py:357-374).
+
+    Returns (mpjpe, mpve) scalars in the units of the inputs (mm).
+    """
+    mpjpes, mpves = compute_error_frames(smpl_output, data_gt)
+    return mpjpes.mean(), mpves.mean()
+
+
+def compute_error_frames(smpl_output, data_gt):
+    """Per-sample MPJPE/MPVE (reference utils_mesh.py:376-393)."""
+    import numpy as np
+
+    pv = np.asarray(smpl_output["verts"]).reshape(
+        -1, smpl_output["verts"].shape[-2], 3)
+    tv = np.asarray(data_gt["verts"]).reshape(-1, data_gt["verts"].shape[-2], 3)
+    pj = np.asarray(smpl_output["kp_3d"]).reshape(-1, 17, 3)
+    tj = np.asarray(data_gt["kp_3d"]).reshape(-1, 17, 3)
+    pv = pv - pj[:, :1]
+    tv = tv - tj[:, :1]
+    mpves = np.sqrt(((pv - tv) ** 2).sum(-1)).mean(-1)
+    pj = pj - pj[:, :1]
+    tj = tj - tj[:, :1]
+    mpjpes = np.sqrt(((pj - tj) ** 2).sum(-1)).mean(-1)
+    return mpjpes, mpves

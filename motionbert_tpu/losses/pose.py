@@ -153,3 +153,14 @@ def pose3d_total_loss(predicted, target, lambdas):
     )
     terms["total"] = total
     return total, terms
+
+
+def weighted_bonelen_loss(predict_3d_length, gt_3d_length):
+    """(reference loss.py:90-92)"""
+    return 0.001 * jnp.mean((predict_3d_length - gt_3d_length) ** 2)
+
+
+def weighted_boneratio_loss(predict_3d_length, gt_3d_length):
+    """(reference loss.py:94-96)"""
+    return 0.1 * jnp.mean(
+        ((predict_3d_length - gt_3d_length) / gt_3d_length) ** 2)
