@@ -264,8 +264,27 @@ def train_with_config(args, opts):
     writer = MetricsWriter(os.path.join(opts.checkpoint, "logs"))
 
     print("Loading dataset...")
-    train_dataset = MotionDataset3D(args, args.subset_list, "train")
-    test_dataset = MotionDataset3D(args, args.subset_list, "test")
+
+    def build_dataset(split):
+        # fast path: a packed native clip store next to the clip dir
+        # (tools/pack_clips.py) serves batch gathers through C++ with zero
+        # per-item Python; falls back to the pickle-per-clip dataset
+        if len(args.subset_list) == 1:
+            packed = os.path.join(args.data_root, args.subset_list[0],
+                                  f"{split}.mbcs")
+            if os.path.exists(packed):
+                from motionbert_tpu.data.clipstore import ClipStoreDataset3D
+
+                print(f"INFO: using native clip store {packed}")
+                return ClipStoreDataset3D(
+                    packed, synthetic=args.get("synthetic", False),
+                    gt_2d=args.get("gt_2d", False),
+                    scale_range_pretrain=args.get("scale_range_pretrain"),
+                    data_split=split)
+        return MotionDataset3D(args, args.subset_list, split)
+
+    train_dataset = build_dataset("train")
+    test_dataset = build_dataset("test")
     mesh = make_mesh()
     n_dev = mesh.shape["data"]
     batch_size = args.batch_size
