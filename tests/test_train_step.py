@@ -112,6 +112,44 @@ def test_sharded_step_matches_single_device():
                                float(terms_single["total"]), rtol=1e-5)
 
 
+def test_dp_tp_step_matches_single_device():
+    """4x2 (DP x TP) mesh: loss AND updated params match a single device.
+
+    This exercises the tensor-parallel rules in parallel/mesh.py (_TP_RULES:
+    column-parallel qkv/fc1, row-parallel proj/fc2) for numeric agreement,
+    not just the pure-DP default mesh.
+    """
+    model, state, x, y = _setup(batch=8)
+    step = make_train_step(model, LAMBDAS, rootrel=True, no_conf=False,
+                           use_mask=False, use_noise=False, noise_params=None)
+    rng = jax.random.PRNGKey(5)
+    new_single, terms_single = step(state, x, y, rng)
+    ref_params = jax.tree_util.tree_map(np.asarray, new_single.params)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    _, state2, _, _ = _setup(batch=8)
+    state2 = state2.replace(
+        params=shard_params(state2.params, mesh),
+        opt_state=jax.device_put(
+            state2.opt_state,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
+    # the TP rules must actually shard something at this geometry
+    sharded = [p for p in jax.tree_util.tree_leaves(state2.params)
+               if not p.sharding.is_fully_replicated]
+    assert sharded, "TP rules sharded no params — test is vacuous"
+    xs, ys = shard_batch((x, y), mesh)
+    new_state, terms_sharded = step(state2, xs, ys, rng)
+    np.testing.assert_allclose(float(terms_sharded["total"]),
+                               float(terms_single["total"]), rtol=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - b))),
+        new_state.params, ref_params)
+    # tolerance: AdamW's 1/(sqrt(nu)+eps) amplifies cross-device
+    # reduction-order noise; 5e-5 is 5% of a single lr=1e-3 update
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-5
+
+
 def test_eval_step_flip_tta():
     model, state, x, y = _setup()
     ev = make_eval_step(model, no_conf=False, flip_tta=True)
