@@ -19,19 +19,32 @@ CFGS = {
                   num_heads=4, mlp_ratio=2, num_joints=17, maxlen=27),
     "mid": dict(dim_in=3, dim_out=3, dim_feat=128, dim_rep=128, depth=5,
                 num_heads=8, mlp_ratio=2, num_joints=17, maxlen=81),
+    # flagship width (512/8 heads) at depth=1 — the exact dims the fused
+    # kernels run in production (weights stored fp16; outputs generated from
+    # the rounded weights, so parity stays exact)
+    "flagship": dict(dim_in=3, dim_out=3, dim_feat=512, dim_rep=512, depth=1,
+                     num_heads=8, mlp_ratio=2, num_joints=17, maxlen=27),
 }
 
 
 def _load_golden(name):
     z = np.load(os.path.join(GOLDENS, f"dstformer_{name}.npz"))
-    sd = {k[3:]: z[k] for k in z.files if k.startswith("sd:")}
+    sd = {k[3:]: np.asarray(z[k], np.float32)
+          for k in z.files if k.startswith("sd:")}
     return z["x"], z["out"], z["rep"], sd
 
 
-@pytest.mark.parametrize("name", ["small", "mid"])
-def test_forward_parity_with_reference(name):
+# "small" (C=64) only has the XLA path; "mid" (C=128) and "flagship" (C=512)
+# satisfy C % 128 == 0, so golden parity crosses the fused Pallas kernels
+# (interpreted on CPU — same code path as the TPU Mosaic build, which
+# tools/verify_kernels.py additionally checks on-chip).
+@pytest.mark.parametrize("name,attn_impl", [
+    ("small", "xla"), ("mid", "xla"), ("mid", "pallas"),
+    ("flagship", "xla"), ("flagship", "pallas"),
+])
+def test_forward_parity_with_reference(name, attn_impl):
     x, out_ref, rep_ref, sd = _load_golden(name)
-    model = DSTformer(**CFGS[name])
+    model = DSTformer(attn_impl=attn_impl, **CFGS[name])
     variables = torch_state_dict_to_flax(sd)
     out = model.apply(variables, jnp.asarray(x))
     rep = model.apply(variables, jnp.asarray(x), return_rep=True)

@@ -54,11 +54,24 @@ def golden_dstformer():
         # Full-architecture shape but scaled-down width so the npz stays small
         "mid": dict(dim_in=3, dim_out=3, dim_feat=128, dim_rep=128, depth=5,
                     num_heads=8, mlp_ratio=2, num_joints=17, maxlen=81),
+        # Flagship width (dim_feat=512/8 heads, the published architecture,
+        # README.md:78) at depth=1 so golden parity crosses the exact dims
+        # the fused kernels run in production. Weights are stored fp16 to
+        # keep the npz small; the reference outputs are generated FROM the
+        # fp16-rounded weights, so parity remains exact (fp16 -> fp32 is
+        # lossless on load).
+        "flagship": dict(dim_in=3, dim_out=3, dim_feat=512, dim_rep=512,
+                         depth=1, num_heads=8, mlp_ratio=2, num_joints=17,
+                         maxlen=27),
     }
     for name, kw in cfgs.items():
         torch.manual_seed(42)
         model = DSTformer(norm_layer=partial(nn.LayerNorm, eps=1e-6), **kw)
         model.eval()
+        half = name == "flagship"
+        if half:
+            sd = {k: v.half().float() for k, v in model.state_dict().items()}
+            model.load_state_dict(sd)
         F = kw["maxlen"] // 3  # exercise F < maxlen (temp_embed truncation)
         x = torch.from_numpy(
             np.random.RandomState(7).uniform(-1, 1, (2, F, 17, 3)).astype(np.float32)
@@ -68,7 +81,7 @@ def golden_dstformer():
             rep = model(x, return_rep=True)
         data = {"x": x.numpy(), "out": out.numpy(), "rep": rep.numpy()}
         for k, v in model.state_dict().items():
-            data["sd:" + k] = v.numpy()
+            data["sd:" + k] = v.half().numpy() if half else v.numpy()
         np.savez_compressed(os.path.join(OUT, f"dstformer_{name}.npz"), **data)
         print(f"dstformer_{name}: out {out.shape}, params "
               f"{sum(v.numel() for v in model.state_dict().values())}")

@@ -1,0 +1,83 @@
+"""Probe the chip's achievable ceilings: bf16/int8 matmul TFLOP/s and HBM BW.
+
+Chained-dependency methodology (CLAUDE.md): each iteration consumes the
+previous output and the window closes with a host fetch, so async dispatch
+cannot fake throughput. Prints one JSON line with the measured ceilings —
+used to sanity-check bench.py's MFU numbers, not run by the driver.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def timeit(fn, x, reps=3):
+    """Seconds per call of fn, best of reps; fn must be self-chaining."""
+    x = fn(x)
+    jax.block_until_ready(x)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        y = fn(x)
+        jax.block_until_ready(y)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+# Inner chain length: one dispatch covers INNER * work, amortizing the
+# axon tunnel's per-call RPC overhead (ms-scale) to noise.
+INNER = 64
+
+
+if __name__ == "__main__":
+    import sys
+    sys.path.insert(0, ".")
+    from motionbert_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    out = {"device": str(jax.devices()[0])}
+
+    # --- bf16 matmul peak: z = z @ W chained INNER times inside one jit
+    n = 4096
+    w = jnp.asarray(np.random.RandomState(0).randn(n, n) * 0.01, jnp.bfloat16)
+
+    @jax.jit
+    def f(z):
+        for _ in range(INNER):
+            z = jax.lax.dot(z, w, preferred_element_type=jnp.bfloat16)
+            z = jnp.clip(z, -2, 2)  # keep values finite across the chain
+        return z
+
+    t = timeit(f, jnp.ones((n, n), jnp.bfloat16))
+    out["bf16_matmul_tflops"] = round(INNER * 2 * n**3 / t / 1e12, 1)
+
+    # --- int8 matmul peak (int32 accumulation)
+    wi = jnp.asarray(np.random.RandomState(1).randint(-4, 4, (n, n)), jnp.int8)
+
+    @jax.jit
+    def fi(z):
+        for _ in range(INNER):
+            acc = jax.lax.dot(z, wi, preferred_element_type=jnp.int32)
+            z = (acc >> 4).astype(jnp.int8)  # renormalize, keep dependency
+        return z
+
+    t = timeit(fi, jnp.ones((n, n), jnp.int8))
+    out["int8_matmul_tops"] = round(INNER * 2 * n**3 / t / 1e12, 1)
+
+    # --- HBM bandwidth: y = y * c over 128 MB, chained (read+write per iter)
+    m = 64 * 1024 * 1024  # elements, bf16 -> 128 MB
+
+    @jax.jit
+    def g(y):
+        for _ in range(INNER):
+            y = y * jnp.bfloat16(1.0001)
+        return y
+
+    t = timeit(g, jnp.ones((m,), jnp.bfloat16))
+    out["hbm_gbps"] = round(INNER * 2 * m * 2 / t / 1e9, 1)
+
+    print(json.dumps(out))
