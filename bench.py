@@ -2,12 +2,15 @@
 
 Runs the flagship DSTformer (dim_feat=512, mlp_ratio=2, depth=5 — the
 published MotionBERT architecture, configs/pose3d/MB_train_h36m.yaml) in
-bf16 inference with the fused Pallas attention path on one chip and prints
-ONE JSON line.
+bf16 with the fused Pallas attention path on one chip and prints ONE JSON
+line. Also reports training throughput (fwd+bwd+AdamW, remat) and on-device
+fused-kernel parity (tools/verify_kernels.py).
 
-Timing methodology: calls are *chained* (each forward consumes the previous
-output) and the window ends with a host fetch, so asynchronous dispatch
-cannot fake throughput. Best-of-3 windows.
+Timing methodology: ITERS forwards are chained INSIDE one jit (each consumes
+the previous output, lax.fori_loop) and the window ends with a host fetch —
+asynchronous dispatch cannot fake throughput, and the axon tunnel's ms-scale
+per-dispatch RPC overhead is amortized away (tools/probe_peak.py showed that
+overhead corrupts short per-call windows). Best-of-3 windows.
 
 Baseline (vs_baseline denominator): the reference is PyTorch eager fp32 on
 A100; no throughput number is published (BASELINE.md). We estimate the A100
@@ -23,24 +26,84 @@ import time
 
 import numpy as np
 
-
 A100_REFERENCE_CLIPS_PER_SEC = 120.0
+# forward FLOPs per 243-frame clip at the flagship geometry (see docstring)
+FWD_GFLOP_PER_CLIP = 370.0
+# measured achievable ceilings on this chip (tools/probe_peak.py,
+# in-jit chained): bf16 matmul 115.5 TFLOP/s, int8 164 TOPS, HBM 575 GB/s
+CHIP_BF16_TFLOPS = 115.5
 
 
-def measure(fwd, variables, x0, iters=5, reps=3):
-    out = fwd(variables, x0)
-    out.block_until_ready()       # compile + warm (f32 input signature)
-    fwd(variables, out).block_until_ready()  # warm the chained bf16 signature
-    best = 0.0
-    for _ in range(reps):
+def _chain(fn, x0, iters):
+    """jit(fori_loop) of a self-chaining fn; returns seconds per iteration."""
+    import jax
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, iters, lambda i, y: fn(y), x)
+
+    out = run(x0)
+    jax.block_until_ready(out)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        x = x0
-        for _ in range(iters):
-            x = fwd(variables, x)  # chained dependency
-        _ = float(x[0, 0, 0, 0])   # host fetch closes the window
-        t1 = time.perf_counter()
-        best = max(best, x0.shape[0] * iters / (t1 - t0))
+        jax.block_until_ready(run(x0))
+        best = min(best, (time.perf_counter() - t0) / iters)
     return best
+
+
+def bench_inference(model, variables, batches=(128, 256, 512), iters=8):
+    import jax
+    import jax.numpy as jnp
+
+    fwd = lambda x: model.apply(variables, x)
+    rs = np.random.RandomState(0)
+    results = {}
+    for batch in batches:
+        x0 = jnp.asarray(rs.uniform(-1, 1, (batch, 243, 17, 3)),
+                         jnp.bfloat16)
+        sec = _chain(fwd, x0, iters)
+        results[batch] = batch / sec
+    return results
+
+
+def bench_training(iters=4):
+    """Flagship train step (fwd+bwd+AdamW, remat — the shipped config's
+    memory mode) at the shipped batch size, chained inside one jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionbert_tpu.models.dstformer import DSTformer
+    from motionbert_tpu.models.factory import FLAGSHIP_CONFIG
+    from motionbert_tpu.train.pose3d import make_train_step
+    from motionbert_tpu.train.state import TrainState, make_adamw
+
+    batch = 32
+    model = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas", remat=True,
+                      **FLAGSHIP_CONFIG)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 243, 17, 3)))["params"]
+    state = TrainState.create(model.apply, params, make_adamw(5e-4, 0.01))
+    step = make_train_step(
+        model, dict(lambda_scale=0.5, lambda_3d_velocity=20.0, lambda_lv=0.0,
+                    lambda_lg=0.0, lambda_a=0.0, lambda_av=0.0),
+        rootrel=True, no_conf=False, use_mask=False, use_noise=False,
+        noise_params=None)
+
+    rs = np.random.RandomState(0)
+    gt = jnp.asarray(rs.uniform(-1, 1, (batch, 243, 17, 3)), jnp.float32)
+    inp = jnp.concatenate(
+        [gt[..., :2], jnp.ones((batch, 243, 17, 1), jnp.float32)], -1)
+    rng = jax.random.PRNGKey(1)
+
+    def one(carry):
+        st, r = carry
+        r, sub = jax.random.split(r)
+        st, _ = step(st, inp, gt, sub)
+        return (st, r)
+
+    sec = _chain(one, (state, rng), iters)
+    return batch / sec
 
 
 def main():
@@ -49,23 +112,25 @@ def main():
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
+
     from motionbert_tpu.models.dstformer import DSTformer
     from motionbert_tpu.models.factory import FLAGSHIP_CONFIG
 
+    import sys
+    sys.path.insert(0, "tools")
+    from verify_kernels import verify
+
+    parity = verify(batch=2)  # real-chip fused-vs-fp32 kernel parity
+
     model = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas",
                       **FLAGSHIP_CONFIG)
-
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 243, 17, 3)))
-    fwd = jax.jit(lambda v, x: model.apply(v, x))
 
-    rs = np.random.RandomState(0)
-    best, best_batch = 0.0, 0
-    for batch in (128,):
-        x0 = jnp.asarray(rs.uniform(-1, 1, (batch, 243, 17, 3)), jnp.float32)
-        cps = measure(fwd, variables, x0)
-        if cps > best:
-            best, best_batch = cps, batch
+    infer = bench_inference(model, variables)
+    best_batch, best = max(infer.items(), key=lambda kv: kv[1])
+    train_cps = bench_training()
 
+    tflops = best * FWD_GFLOP_PER_CLIP / 1000.0
     print(json.dumps({
         "metric": "243-frame clips/sec/chip (pose3d lift)",
         "value": round(best, 2),
@@ -73,10 +138,19 @@ def main():
         "vs_baseline": round(best / A100_REFERENCE_CLIPS_PER_SEC, 3),
         "detail": {
             "batch": best_batch,
+            "per_batch_clips_per_sec": {str(k): round(v, 2)
+                                        for k, v in infer.items()},
+            "train_clips_per_sec": round(train_cps, 2),
             "dtype": "bfloat16",
             "attn": "pallas-fused",
+            "achieved_tflops": round(tflops, 1),
+            "mfu_vs_chip_peak": round(tflops / CHIP_BF16_TFLOPS, 3),
+            "kernel_parity": parity["status"],
+            "kernel_parity_detail": {k: v for k, v in parity.items()
+                                     if k != "status"},
             "device": str(jax.devices()[0]),
-            "baseline_estimate_a100_clips_per_sec": A100_REFERENCE_CLIPS_PER_SEC,
+            "baseline_estimate_a100_clips_per_sec":
+                A100_REFERENCE_CLIPS_PER_SEC,
             "target_vs_baseline": 5.0,
         },
     }))

@@ -73,11 +73,18 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, ln=None,
-                 residual: bool = False):
+                 residual: bool = False, return_params: bool = False):
         from motionbert_tpu.ops.attention import layer_norm
         from motionbert_tpu.ops.fused_mlp import fused_mlp_block
 
         C = x.shape[-1]
+        if return_params:
+            # declare fc1/fc2 (same tree layout) and hand the raw tensors to
+            # the caller's pair-fused kernel instead of computing here
+            w1, b1 = DenseParams(C, self.hidden_features, name="fc1")()
+            w2, b2 = DenseParams(self.hidden_features, self.out_features,
+                                 name="fc2")()
+            return w1, b1, w2, b2
         # fused path also needs the inter-layer dropout inactive (the
         # reference drops between GELU and fc2, DSTformer.py:79-84) and a
         # lane-aligned channel dim
@@ -120,12 +127,15 @@ class DenseParams(nn.Module):
     in_features: int
     out_features: int
     use_bias: bool = True
+    kernel_init: Any = None  # default: trunc_normal_init()
+    bias_init: Any = None    # default: zeros
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", trunc_normal_init(),
+        kernel = self.param("kernel",
+                            self.kernel_init or trunc_normal_init(),
                             (self.in_features, self.out_features))
-        bias = self.param("bias", nn.initializers.zeros,
+        bias = self.param("bias", self.bias_init or nn.initializers.zeros,
                           (self.out_features,)) if self.use_bias else None
         return kernel, bias
 
@@ -166,11 +176,13 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, ln=None,
-                 residual: bool = False):
+                 residual: bool = False, return_params: bool = False):
         """ln: optional (scale, bias) of a pre-LayerNorm to absorb;
         residual: add the (pre-LN) input to the output. Both are fused into
         the kernel on the pallas path; the caller (Block) only passes them
-        when the stochastic regularizers are inactive."""
+        when the stochastic regularizers are inactive. return_params
+        declares qkv/proj (same tree layout) and returns the raw tensors
+        for the caller's pair-fused kernel instead of computing."""
         from motionbert_tpu.ops.attention import (
             coupled_attention, fused_attention_block, layer_norm)
 
@@ -178,6 +190,14 @@ class Attention(nn.Module):
         H = self.num_heads
         d = C // H
         scale = self.qk_scale if self.qk_scale is not None else d ** -0.5
+
+        if return_params:
+            wqkv, bqkv = DenseParams(C, 3 * C, use_bias=self.qkv_bias,
+                                     name="qkv")()
+            wproj, bproj = DenseParams(C, C, name="proj")()
+            if bqkv is None:
+                bqkv = jnp.zeros((3 * C,), wqkv.dtype)
+            return wqkv, bqkv, wproj, bproj
 
         fusable = C % 128 == 0  # Pallas lane alignment
         if self.mode in ("spatial", "temporal") and fusable \
@@ -315,19 +335,39 @@ class Block(nn.Module):
 
         When the stochastic regularizers are inactive (eval, or the shipped
         rate-0 configs), the pre-LN and residual fold into the attention
-        kernel; otherwise the composition is explicit with DropPath.
+        kernel — and on the pallas path the whole attention+MLP pair runs
+        as ONE kernel (ops.fused_pair), so the inter-sub-block activation
+        never touches HBM. Otherwise the composition is explicit with
+        DropPath.
         """
         from motionbert_tpu.ops.attention import layer_norm
+        from motionbert_tpu.ops.fused_pair import fused_pair_block
 
         dp = lambda y: self.droppath(y, deterministic=deterministic)
         fuse_res = deterministic or (self.drop == 0.0 and
                                      self.drop_path == 0.0)
+        C = x.shape[-1]
+        hidden = int(self.dim * self.mlp_ratio)
+        pair = (fuse_res and self.attn_impl == "pallas" and C % 128 == 0
+                and hidden % 128 == 0)
+        scale = self.qk_scale if self.qk_scale is not None \
+            else (C // self.num_heads) ** -0.5
         for axis in order:
             attn = self.attn_s if axis == "s" else self.attn_t
             mlp = self.mlp_s if axis == "s" else self.mlp_t
             ln1 = (self.norm1_s if axis == "s" else self.norm1_t)()
             ln2 = (self.norm2_s if axis == "s" else self.norm2_t)()
-            if fuse_res:
+            if pair:
+                wqkv, bqkv, wproj, bproj = attn(x, return_params=True)
+                w1, b1, w2, b2 = mlp(x, return_params=True)
+                dt = self.dtype
+                x = fused_pair_block(
+                    x.astype(dt), ln1[0], ln1[1], wqkv.astype(dt),
+                    bqkv.astype(dt), wproj.astype(dt), bproj.astype(dt),
+                    ln2[0], ln2[1], w1.astype(dt), b1.astype(dt),
+                    w2.astype(dt), b2.astype(dt), self.num_heads, scale,
+                    "spatial" if axis == "s" else "temporal")
+            elif fuse_res:
                 x = attn(x, deterministic, ln=ln1, residual=True)
                 x = mlp(x, deterministic, ln=ln2, residual=True)
             else:
@@ -432,11 +472,14 @@ class DSTformer(nn.Module):
             "pos_embed", trunc_normal_init(),
             (1, self.num_joints, self.dim_feat))
         if self.att_fuse:
-            # Gate init: zero weight, 0.5 bias (reference DSTformer.py:309-311)
+            # Gate init: zero weight, 0.5 bias (reference DSTformer.py:309-311).
+            # Raw params (nn.Dense tree layout) so the gate can run as two
+            # half-kernel matmuls instead of materializing a (B,F,J,2C)
+            # concat in HBM (measured ~8% of forward time at flagship dims).
             self.ts_attn = [
-                nn.Dense(2, dtype=self.dtype,
-                         kernel_init=nn.initializers.zeros,
-                         bias_init=nn.initializers.constant(0.5))
+                DenseParams(2 * self.dim_feat, 2,
+                            kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.constant(0.5))
                 for _ in range(self.depth)
             ]
 
@@ -460,8 +503,13 @@ class DSTformer(nn.Module):
                 x_st = self.blocks_st[idx](x, deterministic)
                 x_ts = self.blocks_ts[idx](x, deterministic)
             if self.att_fuse:
-                alpha = jnp.concatenate([x_st, x_ts], axis=-1)
-                alpha = self.ts_attn[idx](alpha)       # (B, F, J, 2)
+                # concat([st, ts]) @ W == st @ W[:C] + ts @ W[C:], without
+                # materializing the 2C concat (a full extra HBM round-trip)
+                wg, bg = self.ts_attn[idx]()
+                Cf = self.dim_feat
+                alpha = (x_st @ wg[:Cf].astype(self.dtype)
+                         + x_ts @ wg[Cf:].astype(self.dtype)
+                         + bg.astype(self.dtype))       # (B, F, J, 2)
                 alpha = jax.nn.softmax(
                     alpha.astype(jnp.float32), axis=-1).astype(self.dtype)
                 x = x_st * alpha[..., 0:1] + x_ts * alpha[..., 1:2]

@@ -3,6 +3,7 @@ from motionbert_tpu.parallel.mesh import (
     batch_sharding,
     replicated,
     shard_batch,
+    maybe_shard_batch,
     shard_params,
     param_partition_spec,
 )

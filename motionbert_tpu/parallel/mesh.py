@@ -50,6 +50,19 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def maybe_shard_batch(batch, mesh: Optional[Mesh]):
+    """shard_batch when a mesh is given AND every leading dim divides the
+    data axis; otherwise return the batch unchanged (e.g. an undersized
+    validation tail that cannot split evenly)."""
+    if mesh is None:
+        return batch
+    n = mesh.shape["data"]
+    leaves = jax.tree_util.tree_leaves(batch)
+    if any(x.shape[0] % n != 0 for x in leaves):
+        return batch
+    return shard_batch(batch, mesh)
+
+
 # Tensor-parallel partitioning rules for DSTformer-family params: shard the
 # hidden/output dimension of the wide kernels over "model". Column-parallel
 # for fan-out layers (qkv, fc1), row-parallel for fan-in (proj, fc2) so the

@@ -73,12 +73,15 @@ def make_action_eval_step(model):
     return eval_step
 
 
-def validate(test_loader, model, params, extra_vars):
+def validate(test_loader, model, params, extra_vars, mesh=None):
     """CE loss + top1/top5 over the validation loader
-    (reference train_action.py:41-75)."""
+    (reference train_action.py:41-75). With a device mesh, eval batches
+    shard over the data axis like training (parity with the reference's
+    DataParallel-wrapped validation, train_action.py:44)."""
     import numpy as np
 
     from motionbert_tpu.core.metrics import AverageMeter, accuracy_topk
+    from motionbert_tpu.parallel import maybe_shard_batch
 
     eval_step = make_action_eval_step(model)
     losses, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
@@ -89,8 +92,8 @@ def validate(test_loader, model, params, extra_vars):
         if n < full_bs:
             batch_input = np.concatenate(
                 [batch_input, np.repeat(batch_input[-1:], full_bs - n, 0)])
-        logits = np.asarray(eval_step(params, extra_vars,
-                                      jnp.asarray(batch_input)))[:n]
+        batch_input = maybe_shard_batch(jnp.asarray(batch_input), mesh)
+        logits = np.asarray(eval_step(params, extra_vars, batch_input))[:n]
         labels = np.asarray(batch_gt)
         ce = -np.take_along_axis(
             logits - _logsumexp(logits), labels[:, None], axis=1).mean()
@@ -136,7 +139,8 @@ def train_with_config(args, opts):
     from motionbert_tpu.core.metrics import AverageMeter
     from motionbert_tpu.data.dataset_action import NTURGBD
     from motionbert_tpu.data.datasets import BatchLoader
-    from motionbert_tpu.parallel import make_mesh, shard_batch, shard_params
+    from motionbert_tpu.parallel import (
+        make_mesh, maybe_shard_batch, shard_params)
 
     enable_compilation_cache()
     os.makedirs(opts.checkpoint, exist_ok=True)
@@ -192,13 +196,15 @@ def train_with_config(args, opts):
         params = resume_payload["params"]
         extra_vars = resume_payload.get("extra_vars") or extra_vars
 
+    mesh = make_mesh()
+    params = shard_params(params, mesh)
+
     if opts.evaluate:
-        loss, t1, t5 = validate(test_loader, model, params, extra_vars)
+        loss, t1, t5 = validate(test_loader, model, params, extra_vars,
+                                mesh=mesh)
         print(f"Loss {loss:.4f} \tAcc@1 {t1:.3f} \tAcc@5 {t5:.3f}")
         return {"top1": t1, "top5": t5}
 
-    mesh = make_mesh()
-    params = shard_params(params, mesh)
     tx = make_two_group_adamw(args.lr_backbone, args.lr_head,
                               args.weight_decay)
     if args.get("partial_train", None):
@@ -221,13 +227,13 @@ def train_with_config(args, opts):
         top1 = AverageMeter()
         for batch_input, batch_gt in train_loader:
             rng, sub = jax.random.split(rng)
-            bi, bg = shard_batch(
+            bi, bg = maybe_shard_batch(
                 (jnp.asarray(batch_input), jnp.asarray(batch_gt)), mesh)
             state, m = train_step(state, bi, bg, sub)
             losses.update(float(m["loss"]), len(batch_input))
             top1.update(float(m["top1"]), len(batch_input))
         test_loss, test_top1, test_top5 = validate(
-            test_loader, model, state.params, state.extra_vars)
+            test_loader, model, state.params, state.extra_vars, mesh=mesh)
         print(f"[{epoch + 1}] loss {losses.avg:.4f} train_top1 {top1.avg:.2f} "
               f"test_top1 {test_top1:.2f} test_top5 {test_top5:.2f}")
         for tag, v in (("train_loss", losses.avg), ("train_top1", top1.avg),

@@ -24,10 +24,12 @@ def make_supcon_train_step(model, n_views: int, hidden_dim: int,
             feat = state.apply_fn({"params": params}, batch_input,
                                   deterministic=False,
                                   rngs={"dropout": rng})
-            # (bsz, n_views?, hidden): the reference reshapes the flat batch
-            # (train_action_1shot.py:193); with an MPerClassSampler each
-            # group of n_views consecutive?? — it reshapes (batch, -1, dim),
-            # i.e. one view per row, bsz = batch. We follow that exactly.
+            # (bsz, 1, hidden): the reference reshapes the flat batch to
+            # (batch_size, -1, hidden_dim) (train_action_1shot.py:193), i.e.
+            # every row is its own "anchor" with a single view, and SupCon
+            # positives come purely from the label matrix (the
+            # MPerClassSampler guarantees n_views same-label rows per batch).
+            # tests/test_supcon_step.py pins one full step against a golden.
             feat = feat.reshape(batch_input.shape[0], -1, hidden_dim)
             return supcon_loss(feat, labels=batch_gt,
                                temperature=temperature,
@@ -43,8 +45,10 @@ def make_supcon_train_step(model, n_views: int, hidden_dim: int,
 _EMBED_CACHE: dict = {}
 
 
-def extract_feats(loader, model, params):
+def extract_feats(loader, model, params, mesh=None):
     import numpy as np
+
+    from motionbert_tpu.parallel import maybe_shard_batch
 
     if id(model) in _EMBED_CACHE:
         embed = _EMBED_CACHE[id(model)][1]
@@ -63,17 +67,20 @@ def extract_feats(loader, model, params):
         if n < full_bs:
             batch_input = np.concatenate(
                 [batch_input, np.repeat(batch_input[-1:], full_bs - n, 0)])
-        feats.append(np.asarray(embed(params, jnp.asarray(batch_input)))[:n])
+        batch_input = maybe_shard_batch(jnp.asarray(batch_input), mesh)
+        feats.append(np.asarray(embed(params, batch_input))[:n])
         gts.append(np.asarray(batch_gt))
     return np.concatenate(feats), np.concatenate(gts)
 
 
-def validate_1shot(anchor_loader, test_loader, model, params):
+def validate_1shot(anchor_loader, test_loader, model, params, mesh=None):
     """1-NN cosine-similarity matching (train_action_1shot.py:58-69)."""
     import numpy as np
 
-    train_feats, train_labels = extract_feats(anchor_loader, model, params)
-    test_feats, test_labels = extract_feats(test_loader, model, params)
+    train_feats, train_labels = extract_feats(anchor_loader, model, params,
+                                              mesh=mesh)
+    test_feats, test_labels = extract_feats(test_loader, model, params,
+                                            mesh=mesh)
 
     def _norm(x):
         return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True),
@@ -96,6 +103,8 @@ def train_with_config(args, opts):
     from motionbert_tpu.data.dataset_action import (
         MPerClassSampler, NTURGBD, NTURGBD1Shot)
     from motionbert_tpu.data.datasets import BatchLoader
+    from motionbert_tpu.parallel import (
+        make_mesh, maybe_shard_batch, shard_params)
     from motionbert_tpu.train.action import (
         build_action_model, make_two_group_adamw)
 
@@ -147,8 +156,14 @@ def train_with_config(args, opts):
         resume_payload = load_checkpoint(chk)
         params = resume_payload["params"]
 
+    # DP over the device mesh — the reference DataParallel-wraps the
+    # one-shot entry point like every other (train_action_1shot.py:98)
+    mesh = make_mesh()
+    params = shard_params(params, mesh)
+
     if opts.evaluate:
-        acc = validate_1shot(anchor_loader, test_loader, model, params)
+        acc = validate_1shot(anchor_loader, test_loader, model, params,
+                             mesh=mesh)
         print("one-shot 1-NN acc:", acc)
         return {"acc": acc}
 
@@ -183,10 +198,12 @@ def train_with_config(args, opts):
         losses = AverageMeter()
         for batch_input, batch_gt in train_loader:
             rng, sub = jax.random.split(rng)
-            state, loss = train_step(state, jnp.asarray(batch_input),
-                                     jnp.asarray(batch_gt), sub)
+            bi, bg = maybe_shard_batch(
+                (jnp.asarray(batch_input), jnp.asarray(batch_gt)), mesh)
+            state, loss = train_step(state, bi, bg, sub)
             losses.update(float(loss), len(batch_input))
-        acc = validate_1shot(anchor_loader, test_loader, model, state.params)
+        acc = validate_1shot(anchor_loader, test_loader, model, state.params,
+                             mesh=mesh)
         print(f"[{epoch + 1}] supcon {losses.avg:.4f} 1nn_acc {acc:.4f}")
         writer.add_scalar("train_loss_supcon", losses.avg, epoch + 1)
         writer.add_scalar("test_top1", acc, epoch + 1)

@@ -88,11 +88,14 @@ def make_mesh_eval_step(model, smpl_model, flip_tta: bool):
 
 
 def validate(test_loader, model, params, extra_vars, smpl_model, args,
-             dataset_name="h36m"):
-    """Returns (loss, mpjpe, pa_mpjpe, mpve, per-term dict)."""
+             dataset_name="h36m", mesh=None):
+    """Returns (loss, mpjpe, pa_mpjpe, mpve, per-term dict). With a device
+    mesh, eval batches shard over the data axis like training (parity with
+    the reference's DataParallel-wrapped validation, train_mesh.py:60)."""
     import numpy as np
 
     from motionbert_tpu.core.metrics import AverageMeter
+    from motionbert_tpu.parallel import maybe_shard_batch
 
     eval_step = make_mesh_eval_step(model, smpl_model,
                                     flip_tta=args.get("flip", False))
@@ -107,7 +110,8 @@ def validate(test_loader, model, params, extra_vars, smpl_model, args,
             pad = lambda x: np.concatenate(
                 [x, np.repeat(x[-1:], full_bs - n, 0)])
             batch_input = pad(batch_input)
-        out = eval_step(params, extra_vars, jnp.asarray(batch_input))
+        batch_input = maybe_shard_batch(jnp.asarray(batch_input), mesh)
+        out = eval_step(params, extra_vars, batch_input)
         out = {k: np.asarray(v)[:n] for k, v in out.items()}
         gt = {k: np.asarray(v) for k, v in batch_gt.items()}
         total, terms = mesh_total_loss(
@@ -156,7 +160,8 @@ def train_with_config(args, opts):
     from motionbert_tpu.data.dataset_mesh import MotionSMPL
     from motionbert_tpu.data.datasets import BatchLoader
     from motionbert_tpu.models.smpl import SMPLModel
-    from motionbert_tpu.parallel import make_mesh, shard_batch, shard_params
+    from motionbert_tpu.parallel import (
+        make_mesh, maybe_shard_batch, shard_params)
     from motionbert_tpu.train.action import make_two_group_adamw
 
     enable_compilation_cache()
@@ -227,18 +232,19 @@ def train_with_config(args, opts):
         params = resume_payload["params"]
         extra_vars = resume_payload.get("extra_vars") or extra_vars
 
+    mesh = make_mesh()
+    params = shard_params(params, mesh)
+
     if opts.evaluate:
         out = {}
         for name in ("h36m", "pw3d"):
             if name in loaders:
                 _, jpe, pa, ve, _ = validate(loaders[name][1], model, params,
                                              extra_vars, smpl_model, args,
-                                             name)
+                                             name, mesh=mesh)
                 out[name] = {"mpjpe": jpe, "pa_mpjpe": pa, "mpve": ve}
         return out
 
-    mesh = make_mesh()
-    params = shard_params(params, mesh)
     tx = make_two_group_adamw(args.lr_backbone, args.lr_head,
                               args.weight_decay)
     if args.get("partial_train", None):
@@ -263,7 +269,7 @@ def train_with_config(args, opts):
     def run_train(state, rng, loader, losses):
         for batch_input, batch_gt in loader:
             rng, sub = jax.random.split(rng)
-            bi, bg = shard_batch(
+            bi, bg = maybe_shard_batch(
                 (jnp.asarray(batch_input),
                  jax.tree_util.tree_map(jnp.asarray, batch_gt)), mesh)
             state, terms = train_step(state, bi, bg, sub)
@@ -280,7 +286,7 @@ def train_with_config(args, opts):
             state, rng = run_train(state, rng, loaders["h36m"][0], losses)
             _, test_mpjpe, pa, ve, _ = validate(
                 loaders["h36m"][1], model, state.params, state.extra_vars,
-                smpl_model, args, "h36m")
+                smpl_model, args, "h36m", mesh=mesh)
             writer.add_scalar("test_mpjpe", test_mpjpe, epoch + 1)
             writer.add_scalar("test_pa_mpjpe", pa, epoch + 1)
             writer.add_scalar("test_mpve", ve, epoch + 1)
@@ -291,7 +297,7 @@ def train_with_config(args, opts):
                 state, rng = run_train(state, rng, loaders["pw3d"][0], losses)
             _, test_mpjpe, pa, ve, _ = validate(
                 loaders["pw3d"][1], model, state.params, state.extra_vars,
-                smpl_model, args, "pw3d")
+                smpl_model, args, "pw3d", mesh=mesh)
             writer.add_scalar("test_mpjpe_pw3d", test_mpjpe, epoch + 1)
             writer.add_scalar("test_pa_mpjpe_pw3d", pa, epoch + 1)
             writer.add_scalar("test_mpve_pw3d", ve, epoch + 1)

@@ -67,6 +67,68 @@ def test_supcon_golden():
     np.testing.assert_allclose(float(loss), float(g["loss"]), rtol=1e-5)
 
 
+def test_supcon_mperclass_step_semantics_golden():
+    """The one-shot trainer's exact reshape semantics: an m-per-class batch
+    of single-view embeddings reshaped (batch, -1, hidden) — pinned against
+    the reference's SupConLoss on the same batch
+    (reference train_action_1shot.py:188-196)."""
+    from motionbert_tpu.losses.supcon import supcon_loss
+
+    g = np.load(os.path.join(GOLDENS, "supcon.npz"))
+    feats = jnp.asarray(g["feats_mpc"])          # (batch, hidden), L2-normed
+    feat = feats.reshape(feats.shape[0], -1, feats.shape[-1])
+    loss = supcon_loss(feat, labels=jnp.asarray(g["labels_mpc"]),
+                       temperature=0.1, base_temperature=0.1)
+    np.testing.assert_allclose(float(loss), float(g["loss_mpc"]), rtol=1e-5)
+
+
+def test_supcon_step_sharded_matches_single_device():
+    """One-shot SupCon train step over the DP mesh == single device (the
+    reference DataParallel-wraps the one-shot entry point too,
+    train_action_1shot.py:98)."""
+    from motionbert_tpu.models.action_heads import ActionNet
+    from motionbert_tpu.models.dstformer import DSTformer
+    from motionbert_tpu.parallel import make_mesh, shard_batch, shard_params
+    from motionbert_tpu.train.action import make_two_group_adamw
+    from motionbert_tpu.train.action_1shot import make_supcon_train_step
+    from motionbert_tpu.train.state import TrainState
+
+    def build():
+        backbone = DSTformer(dim_in=3, dim_out=3, dim_feat=32, dim_rep=32,
+                             depth=1, num_heads=4, mlp_ratio=2,
+                             num_joints=17, maxlen=16)
+        model = ActionNet(backbone=backbone, dim_rep=32, version="embed",
+                          hidden_dim=64)
+        x0 = jnp.zeros((1, 2, 16, 17, 3))
+        params = model.init(jax.random.PRNGKey(0), x0)["params"]
+        tx = make_two_group_adamw(1e-3, 1e-3, 0.01)
+        return model, TrainState.create(model.apply, params, tx)
+
+    rs = np.random.RandomState(0)
+    xb = jnp.asarray(rs.normal(size=(8, 2, 16, 17, 3)), jnp.float32)
+    yb = jnp.asarray(np.repeat(np.arange(4), 2))  # m-per-class labels
+    rng = jax.random.PRNGKey(7)
+
+    model, state = build()
+    step = make_supcon_train_step(model, n_views=2, hidden_dim=64,
+                                  temperature=0.1)
+    single, loss_single = step(state, xb, yb, rng)
+
+    mesh = make_mesh()
+    model2, state2 = build()
+    state2 = state2.replace(params=shard_params(state2.params, mesh))
+    xs, ys = shard_batch((xb, yb), mesh)
+    step2 = make_supcon_train_step(model2, n_views=2, hidden_dim=64,
+                                   temperature=0.1)
+    sharded, loss_sharded = step2(state2, xs, ys, rng)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        sharded.params, single.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-5
+
+
 def test_action_net_shapes_and_training():
     from motionbert_tpu.models.action_heads import ActionNet
     from motionbert_tpu.models.dstformer import DSTformer

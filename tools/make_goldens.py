@@ -328,8 +328,24 @@ def golden_supcon():
     labels = rs.randint(0, 3, 8)
     loss = SupConLoss(temperature=0.1, base_temperature=0.1)(
         torch.from_numpy(feats), torch.from_numpy(labels))
+
+    # The one-shot trainer's exact semantics (train_action_1shot.py:188-196):
+    # an m-per-class batch of single-view embeddings reshaped
+    # (batch, -1, hidden) — every row its own anchor, positives purely from
+    # the label matrix.
+    rs2 = np.random.RandomState(23)
+    batch, hidden, m = 16, 32, 4
+    labels_m = np.repeat(np.arange(batch // m), m)
+    rs2.shuffle(labels_m)
+    feats_m = rs2.normal(size=(batch, hidden)).astype(np.float32)
+    feats_m /= np.linalg.norm(feats_m, axis=-1, keepdims=True)
+    loss_m = SupConLoss(temperature=0.1, base_temperature=0.1)(
+        torch.from_numpy(feats_m.reshape(batch, -1, hidden)),
+        torch.from_numpy(labels_m))
     np.savez_compressed(os.path.join(OUT, "supcon.npz"), feats=feats,
-                        labels=labels, loss=loss.numpy())
+                        labels=labels, loss=loss.numpy(),
+                        feats_mpc=feats_m, labels_mpc=labels_m,
+                        loss_mpc=loss_m.numpy())
     print("supcon goldens written")
 
 

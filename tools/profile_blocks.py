@@ -1,0 +1,120 @@
+"""Per-kernel throughput breakdown at flagship dims (B=128, F=243, C=512).
+
+Times each fused block (spatial attn, temporal attn, MLP) and the XLA glue
+(embed/gate/LN) separately with in-jit chaining, reporting achieved TFLOP/s
+per kernel — shows which kernel sits below the chip's ~115 TFLOP/s matmul
+peak and by how much. Diagnostic only; not run by the driver.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+B, F, J, C, H = 128, 243, 17, 512, 8
+TOKENS = B * F * J
+INNER = 8
+
+
+def timeit(fn, *args, reps=3):
+    import jax
+
+    @jax.jit
+    def run(x, *rest):
+        for _ in range(INNER):
+            x = fn(x, *rest)
+        return x
+
+    out = run(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(*args))
+        best = min(best, (time.perf_counter() - t0) / INNER)
+    return best
+
+
+def main():
+    from motionbert_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from motionbert_tpu.ops.attention import fused_attention_block
+    from motionbert_tpu.ops.fused_mlp import fused_mlp_block
+
+    dt = jnp.bfloat16
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, F, J, C) * 0.3, dt)
+    ln_s = jnp.ones((C,), jnp.float32)
+    ln_b = jnp.zeros((C,), jnp.float32)
+    wqkv = jnp.asarray(rs.randn(C, 3 * C) / np.sqrt(C), dt)
+    bqkv = jnp.zeros((3 * C,), dt)
+    wproj = jnp.asarray(rs.randn(C, C) / np.sqrt(C), dt)
+    bproj = jnp.zeros((C,), dt)
+    w1 = jnp.asarray(rs.randn(C, 2 * C) / np.sqrt(C), dt)
+    b1 = jnp.zeros((2 * C,), dt)
+    w2 = jnp.asarray(rs.randn(2 * C, C) / np.sqrt(2 * C), dt)
+    b2 = jnp.zeros((C,), dt)
+    scale = (C // H) ** -0.5
+
+    out = {}
+
+    proj_flops = TOKENS * (2 * C * 3 * C + 2 * C * C)
+    for mode, rows in (("spatial", 8 * J), ("temporal", F)):
+        fn = lambda y, m=mode: fused_attention_block(
+            y, ln_s, ln_b, wqkv, bqkv, wproj, bproj, H, scale, m, True, True)
+        t = timeit(fn, x)
+        score_flops = TOKENS * 4 * rows * C
+        out[f"attn_{mode}"] = {
+            "ms": round(t * 1e3, 2),
+            "tflops": round((proj_flops + score_flops) / t / 1e12, 1),
+            "proj_only_tflops": round(proj_flops / t / 1e12, 1),
+        }
+
+    mlp_flops = TOKENS * 2 * (2 * C * 2 * C)
+    t = timeit(lambda y: fused_mlp_block(y, ln_s, ln_b, w1, b1, w2, b2,
+                                         True, True), x)
+    out["mlp"] = {"ms": round(t * 1e3, 2),
+                  "tflops": round(mlp_flops / t / 1e12, 1)}
+
+    # XLA glue: the per-layer att_fuse gate (concat -> Dense(2) -> softmax
+    # -> mix), measured on two streams
+    wg = jnp.asarray(rs.randn(2 * C, 2) * 0.01, dt)
+    bg = jnp.asarray([0.5, 0.5], dt)
+
+    def gate(a, b):
+        al = jnp.concatenate([a, b], axis=-1) @ wg + bg
+        al = jax.nn.softmax(al.astype(jnp.float32), -1).astype(a.dtype)
+        return a * al[..., 0:1] + b * al[..., 1:2]
+
+    t = timeit(lambda y: gate(y, y + 1), x)
+    out["gate"] = {"ms": round(t * 1e3, 2)}
+
+    # one full dual layer for reference: 8 fused blocks + gate
+    def layer(y):
+        def branch(y, order):
+            for m in order:
+                y = fused_attention_block(y, ln_s, ln_b, wqkv, bqkv, wproj,
+                                          bproj, H, scale, m, True, True)
+                y = fused_mlp_block(y, ln_s, ln_b, w1, b1, w2, b2, True, True)
+            return y
+
+        return gate(branch(y, ("spatial", "temporal")),
+                    branch(y, ("temporal", "spatial")))
+
+    t = timeit(layer, x)
+    layer_flops = 2 * (2 * proj_flops + TOKENS * 4 * (8 * J + F) * C
+                       + 2 * mlp_flops)
+    out["full_layer"] = {"ms": round(t * 1e3, 2),
+                         "tflops": round(layer_flops / t / 1e12, 1)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
