@@ -80,7 +80,7 @@ def _pair_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
 
 
 def _pick_pair_batch_block(B, N, C, hidden, itemsize,
-                           budget: int = 9 << 20) -> int:
+                           budget: int = 20 << 20) -> int:
     """Largest divisor of B whose per-b f32 intermediates (qkv + hidden +
     attn/y) fit the VMEM budget alongside the resident weights."""
     weights = (3 * C * C + C * C + 2 * C * hidden) * itemsize
