@@ -92,3 +92,41 @@ class MotionSMPL(SMPLDataset):
         return motion_2d.astype(np.float32), {
             "theta": theta, "kp_3d": kp.astype(np.float32),
             "verts": verts.astype(np.float32)}
+
+    def get_batch(self, indices):
+        """Vectorized batch gather: ONE smpl_forward_np call over all
+        clips' frames instead of one per clip. The per-item path starves
+        the device at production batch sizes (GIL-bound ~140 clips/s vs
+        ~790 consumed, tools/bench_loader.py); the batched LBS runs in
+        large BLAS ops that release the GIL. BatchLoader auto-detects this
+        method. Matches __getitem__'s outputs exactly (same rng stream for
+        the flip augmentation, drawn in index order)."""
+        indices = np.asarray(indices)
+        motion_2d = self.motion_2d[indices].copy()       # (B, T, 17, 3)
+        motion_2d[..., 2] = np.clip(motion_2d[..., 2], 0, 1)
+        B = len(indices)
+        pose = self.motion_smpl_3d["pose"][indices].reshape(B, -1, 24, 3)
+        shape = self.motion_smpl_3d["shape"][indices].reshape(B, -1, 10)
+        T = pose.shape[1]
+
+        if self.data_split == "train" and self.flip:
+            for i in range(B):
+                if self.rng.random() > 0.5:
+                    motion_2d[i] = flip_data(motion_2d[i])
+                    pose[i] = flip_thetas_np(pose[i])
+
+        out = smpl_forward_np(self.smpl,
+                              shape.reshape(B * T, 10).astype(np.float32),
+                              pose.reshape(B * T, 72).astype(np.float32),
+                              dtype=np.float32)
+        verts = out["vertices"] * 1000.0  # mm
+        kp = np.einsum("jv,bvc->bjc", self.smpl.J_regressor_h36m, verts)
+        verts = verts - kp[:, :1, :]
+        kp = kp - kp[:, :1, :]
+        theta = np.concatenate(
+            [pose.reshape(B, T, 72), shape.reshape(B, T, 10)],
+            axis=-1).astype(np.float32)
+        return motion_2d.astype(np.float32), {
+            "theta": theta,
+            "kp_3d": kp.reshape(B, T, -1, 3).astype(np.float32),
+            "verts": verts.reshape(B, T, -1, 3).astype(np.float32)}

@@ -211,12 +211,14 @@ def vertices2joints(J_regressor, vertices):
     return jnp.einsum("jv,bvc->bjc", jnp.asarray(J_regressor), vertices)
 
 
-def smpl_forward_np(model: SMPLModel, betas, pose):
+def smpl_forward_np(model: SMPLModel, betas, pose, dtype=np.float64):
     """Numpy twin of smpl_forward (axis-angle pose), for host-side GT
     synthesis inside data-loader threads (no device traffic) and as an
-    independent oracle for the jnp implementation."""
-    betas = np.asarray(betas, np.float64)
-    pose = np.asarray(pose, np.float64).reshape(-1, NUM_JOINTS, 3)
+    independent oracle for the jnp implementation. dtype=float32 halves the
+    loader-side cost (GT targets are mm-scale; f32 LBS error is ~1e-3 mm);
+    the f64 default stays the test oracle."""
+    betas = np.asarray(betas, dtype)
+    pose = np.asarray(pose, dtype).reshape(-1, NUM_JOINTS, 3)
     B = betas.shape[0]
 
     # rodrigues
@@ -232,17 +234,24 @@ def smpl_forward_np(model: SMPLModel, betas, pose):
         2 * (x * z - w * y), 2 * (w * x + y * z), w * w - x * x - y * y + z * z,
     ], -1).reshape(B, NUM_JOINTS, 3, 3)
 
-    v_shaped = model.v_template + np.einsum(
-        "bl,vcl->bvc", betas, model.shapedirs)
-    joints = np.einsum("jv,bvc->bjc", model.J_regressor, v_shaped)
-    pose_feature = (R[:, 1:] - np.eye(3)).reshape(B, -1)
-    v_posed = v_shaped + np.einsum("bl,vcl->bvc", pose_feature,
-                                   model.posedirs)
+    # Blend shapes as plain GEMMs — np.einsum's default (no `optimize`)
+    # path is loop-based, ~10x slower than BLAS on these shapes, and the
+    # loader-side GT synthesis is throughput-critical (tools/bench_loader).
+    V = model.v_template.shape[0]
+    sd = model.shapedirs.reshape(V * 3, -1).astype(dtype, copy=False)
+    pd = model.posedirs.reshape(V * 3, -1).astype(dtype, copy=False)
+    jreg = model.J_regressor.astype(dtype, copy=False)
+    w_lbs = model.lbs_weights.astype(dtype, copy=False)
+    v_shaped = model.v_template.astype(dtype, copy=False) \
+        + (betas @ sd.T).reshape(B, V, 3)
+    joints = np.matmul(jreg, v_shaped)               # (B, 24, 3)
+    pose_feature = (R[:, 1:] - np.eye(3, dtype=R.dtype)).reshape(B, -1)
+    v_posed = v_shaped + (pose_feature @ pd.T).reshape(B, V, 3)
 
     parents = model.parents
     rel_j = joints.copy()
     rel_j[:, 1:] -= joints[:, parents[1:]]
-    local = np.zeros((B, NUM_JOINTS, 4, 4))
+    local = np.zeros((B, NUM_JOINTS, 4, 4), dtype=R.dtype)
     local[..., :3, :3] = R
     local[..., :3, 3] = rel_j
     local[..., 3, 3] = 1.0
@@ -256,8 +265,11 @@ def smpl_forward_np(model: SMPLModel, betas, pose):
     rel = world.copy()
     rel[..., :3, 3] -= shifted[..., :3]
 
-    T = np.einsum("vj,bjmn->bvmn", model.lbs_weights, rel)
-    v_h = np.concatenate([v_posed, np.ones_like(v_posed[..., :1])], -1)
-    verts = np.einsum("bvmn,bvn->bvm", T, v_h)[..., :3]
+    # Skinning with (3, 4) transforms: one (V, J) x (B, J, 12) GEMM, then
+    # rotate+translate — never materializes per-vertex 4x4 matrices (which
+    # would be ~0.5 GB at production batch sizes) or homogeneous coords.
+    A = np.ascontiguousarray(rel[:, :, :3, :]).reshape(B, NUM_JOINTS, 12)
+    Tv = np.matmul(w_lbs, A).reshape(B, V, 3, 4)     # (B, V, 3, 4)
+    verts = (Tv[..., :3] * v_posed[:, :, None, :]).sum(-1) + Tv[..., 3]
     return {"vertices": verts.astype(np.float32),
             "joints": posed_joints.astype(np.float32)}

@@ -191,3 +191,25 @@ def test_flip_tta_eval_step():
              {"batch_stats": variables["batch_stats"]}, x)
     assert out["verts"].shape == (2, 8, MODEL.num_verts, 3)
     assert bool(jnp.isfinite(out["verts"]).all())
+
+
+def test_motion_smpl_get_batch_matches_getitem():
+    """The vectorized batch gather equals the per-item path (including the
+    flip rng stream, drawn in index order)."""
+    from motionbert_tpu.core.config import ConfigDict
+    from motionbert_tpu.data.dataset_mesh import MotionSMPL
+
+    args = ConfigDict(dict(
+        clip_len=16, sample_stride=1, data_stride=16,
+        data_root="data/synthetic/mesh", dt_file_pw3d="mesh_synth.pkl",
+        flip=True))
+    ds_item = MotionSMPL(args, "train", "pw3d", MODEL)
+    ds_batch = MotionSMPL(args, "train", "pw3d", MODEL)
+    idx = list(range(min(4, len(ds_item))))
+    per_item = [ds_item[i] for i in idx]  # consumes rng in index order
+    bx, bgt = ds_batch.get_batch(idx)
+    for i in idx:
+        np.testing.assert_allclose(bx[i], per_item[i][0], atol=1e-6)
+        for k in ("theta", "kp_3d", "verts"):
+            np.testing.assert_allclose(bgt[k][i], per_item[i][1][k],
+                                       atol=2e-2)  # f32 vs f64 LBS, mm scale
