@@ -433,6 +433,7 @@ class DSTformer(nn.Module):
     att_fuse: bool = True
     attn_impl: str = "xla"
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
+    collect_attn: bool = False  # sow per-layer gate stats (see count_attn)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -512,6 +513,15 @@ class DSTformer(nn.Module):
                          + bg.astype(self.dtype))       # (B, F, J, 2)
                 alpha = jax.nn.softmax(
                     alpha.astype(jnp.float32), axis=-1).astype(self.dtype)
+                if self.collect_attn:
+                    # functional twin of the reference's dormant count_attn
+                    # hook (DSTformer.py:202-212): per-sample mean gate
+                    # weight for the two streams, sown per layer; read back
+                    # with apply(..., mutable=["intermediates"]) or via
+                    # attention_gate_stats below
+                    self.sow("intermediates", "gate_alpha",
+                             jnp.mean(alpha.astype(jnp.float32),
+                                      axis=(1, 2)))  # (B, 2)
                 x = x_st * alpha[..., 0:1] + x_ts * alpha[..., 1:2]
             else:
                 x = (x_st + x_ts) * 0.5
@@ -526,6 +536,25 @@ class DSTformer(nn.Module):
 
     def get_representation(self, x, deterministic: bool = True):
         return self(x, return_rep=True, deterministic=deterministic)
+
+
+def attention_gate_stats(model: "DSTformer", variables, x):
+    """Per-sample spatial/temporal gate statistics — the functional
+    equivalent of the reference's count_attn accumulator
+    (/root/reference/lib/model/DSTformer.py:106-107,202-212).
+
+    Returns {"attn_count_s": (B, depth), "attn_count_t": (B, depth)}: the
+    mean gate weight given to the S->T and T->S streams per sample per
+    layer. Works with any params; enables stat collection via a copy of the
+    model (pure function, no hidden state to reset between batches).
+    """
+    m = model.copy(collect_attn=True)
+    _, inter = m.apply(variables, x, mutable=["intermediates"])
+    alphas = inter["intermediates"]["gate_alpha"]  # tuple of (B, 2)
+    import numpy as np
+
+    stacked = np.stack([np.asarray(a) for a in alphas], axis=1)  # (B, L, 2)
+    return {"attn_count_s": stacked[..., 0], "attn_count_t": stacked[..., 1]}
 
     def reset_classifier(self, dim_out: int) -> "DSTformer":
         """Return a copy with a new output head size (params must be

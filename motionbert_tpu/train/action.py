@@ -218,6 +218,8 @@ def train_with_config(args, opts):
             state = state.replace(opt_state=jax.tree_util.tree_map(
                 jnp.asarray, resume_payload["opt_state"]))
         best_acc = resume_payload.get("best_metric") or 0.0
+        if (resume_payload.get("meta") or {}).get("rng") is not None:
+            rng = jnp.asarray(resume_payload["meta"]["rng"])
 
     train_step = make_action_train_step(model)
     print(f"INFO: Training on {len(train_loader)} batches")
@@ -245,6 +247,7 @@ def train_with_config(args, opts):
         best_acc = max(best_acc, test_top1)
         ckpt_mgr.save_epoch(epoch, float(state.lr or 0), state.params,
                             state.opt_state, extra_vars=state.extra_vars,
-                            best_metric=best_acc, improved=improved)
+                            best_metric=best_acc, improved=improved,
+                            meta={"rng": np.asarray(rng)})
     writer.close()
     return {"top1": best_acc}

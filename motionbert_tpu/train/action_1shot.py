@@ -188,6 +188,8 @@ def train_with_config(args, opts):
             state = state.replace(opt_state=jax.tree_util.tree_map(
                 jnp.asarray, resume_payload["opt_state"]))
         best_acc = resume_payload.get("best_metric") or 0.0
+        if (resume_payload.get("meta") or {}).get("rng") is not None:
+            rng = jnp.asarray(resume_payload["meta"]["rng"])
 
     train_step = make_supcon_train_step(model, args.n_views,
                                         args.get("hidden_dim", 2048),
@@ -212,6 +214,7 @@ def train_with_config(args, opts):
         best_acc = max(best_acc, acc)
         ckpt_mgr.save_epoch(epoch, float(state.lr or 0), state.params,
                             state.opt_state, best_metric=best_acc,
-                            improved=improved)
+                            improved=improved,
+                            meta={"rng": np.asarray(rng)})
     writer.close()
     return {"acc": best_acc}

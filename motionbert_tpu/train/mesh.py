@@ -258,6 +258,8 @@ def train_with_config(args, opts):
             state = state.replace(opt_state=jax.tree_util.tree_map(
                 jnp.asarray, resume_payload["opt_state"]))
         best_jpe = resume_payload.get("best_metric") or 9999.0
+        if (resume_payload.get("meta") or {}).get("rng") is not None:
+            rng = jnp.asarray(resume_payload["meta"]["rng"])
 
     lambdas = {k: args.get(k, 0.0) for k in
                ("lambda_3d", "lambda_scale", "lambda_3dv", "lambda_lv",
@@ -312,6 +314,7 @@ def train_with_config(args, opts):
               f"test_mpjpe {test_mpjpe} best {best_jpe}")
         ckpt_mgr.save_epoch(epoch, float(state.lr or 0), state.params,
                             state.opt_state, extra_vars=state.extra_vars,
-                            best_metric=best_jpe, improved=improved)
+                            best_metric=best_jpe, improved=improved,
+                            meta={"rng": np.asarray(rng)})
     writer.close()
     return {"best_jpe": best_jpe}

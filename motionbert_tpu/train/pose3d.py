@@ -387,6 +387,11 @@ def train_with_config(args, opts):
         state = state.set_lr(lr)
         if resume_payload.get("best_metric") is not None:
             min_loss = resume_payload["best_metric"]
+        if (resume_payload.get("meta") or {}).get("rng") is not None:
+            # restore the host PRNG stream so a resumed run draws the same
+            # augmentation/dropout keys the uninterrupted run would have
+            # (the reference does not persist RNG state across resume)
+            rng = jnp.asarray(resume_payload["meta"]["rng"])
 
     use_mask = args.get("mask_ratio", 0) > 0 and args.get("mask_T_ratio", 0) > 0
     use_noise = bool(args.get("noise", False))
@@ -465,7 +470,8 @@ def train_with_config(args, opts):
         state = state.scale_lr(args.lr_decay)
 
         ckpt_mgr.save_epoch(epoch, lr, state.params, state.opt_state,
-                            best_metric=min_loss, improved=improved)
+                            best_metric=min_loss, improved=improved,
+                            meta={"rng": np.asarray(rng)})
     writer.close()
     return {"e1": min_loss}
 

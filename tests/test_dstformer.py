@@ -106,3 +106,22 @@ def test_bf16_close_to_f32():
         variables, jnp.asarray(x))
     # motion coords are O(1); bf16 end-to-end should stay within ~2e-2
     assert float(jnp.max(jnp.abs(f32 - bf16.astype(jnp.float32)))) < 2e-2
+
+
+def test_attention_gate_stats():
+    """count_attn equivalent: per-layer per-sample gate weights sum to 1
+    and start at 0.5/0.5 (zero-kernel, 0.5-bias gate init)."""
+    from motionbert_tpu.models.dstformer import attention_gate_stats
+
+    model = DSTformer(**CFGS["small"])
+    x = jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (3, 9, 17, 3)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # default model: no intermediates collection leaks into init/apply
+    assert "intermediates" not in variables
+    stats = attention_gate_stats(model, variables, x)
+    assert stats["attn_count_s"].shape == (3, CFGS["small"]["depth"])
+    np.testing.assert_allclose(
+        stats["attn_count_s"] + stats["attn_count_t"], 1.0, atol=1e-5)
+    # zero-weight gate init -> exactly balanced streams
+    np.testing.assert_allclose(stats["attn_count_s"], 0.5, atol=1e-6)

@@ -93,6 +93,17 @@ def test_pose3d_resume_continues_epochs(tmp_path):
     assert payload2["epoch"] == 2
     assert abs(payload2["lr"] - 5e-4 * 0.25) < 1e-9
 
+    # the host PRNG stream is persisted and restored: a resumed run draws
+    # the same keys an uninterrupted run would. Uninterrupted 2-epoch run:
+    ckpt_b = os.path.join(tmp_path, "ckpt_b")
+    opts3 = types.SimpleNamespace(checkpoint=ckpt_b, pretrained="",
+                                  resume="", evaluate="", selection="",
+                                  seed=0)
+    train_with_config(args, opts3)
+    payload_b = load_checkpoint(os.path.join(ckpt_b, "latest_epoch.ckpt"))
+    np.testing.assert_array_equal(payload2["meta"]["rng"],
+                                  payload_b["meta"]["rng"])
+
 
 def test_estimate_translation_recovers_known_camera():
     from motionbert_tpu.geometry.procrustes import estimate_translation_np
