@@ -330,7 +330,7 @@ class Block(nn.Module):
                                     kernel_init=trunc_normal_init(),
                                     name="ts_attn")
 
-    def _sub_blocks(self, x, order, deterministic):
+    def _sub_blocks(self, x, order, deterministic, gate=None):
         """Run attention+MLP sub-blocks in the given axis order.
 
         When the stochastic regularizers are inactive (eval, or the shipped
@@ -339,9 +339,14 @@ class Block(nn.Module):
         as ONE kernel (ops.fused_pair), so the inter-sub-block activation
         never touches HBM. Otherwise the composition is explicit with
         DropPath.
+
+        gate=(other, wg, bg): apply the layer's att_fuse gate against the
+        twin stream `other` after the last sub-block — fused into that
+        sub-block's kernel on the pair path, XLA otherwise.
         """
         from motionbert_tpu.ops.attention import layer_norm
-        from motionbert_tpu.ops.fused_pair import fused_pair_block
+        from motionbert_tpu.ops.fused_pair import (
+            _gate_xla, fused_gated_pair_block, fused_pair_block)
 
         dp = lambda y: self.droppath(y, deterministic=deterministic)
         fuse_res = deterministic or (self.drop == 0.0 and
@@ -352,7 +357,7 @@ class Block(nn.Module):
                 and hidden % 128 == 0)
         scale = self.qk_scale if self.qk_scale is not None \
             else (C // self.num_heads) ** -0.5
-        for axis in order:
+        for i, axis in enumerate(order):
             attn = self.attn_s if axis == "s" else self.attn_t
             mlp = self.mlp_s if axis == "s" else self.mlp_t
             ln1 = (self.norm1_s if axis == "s" else self.norm1_t)()
@@ -361,28 +366,42 @@ class Block(nn.Module):
                 wqkv, bqkv, wproj, bproj = attn(x, return_params=True)
                 w1, b1, w2, b2 = mlp(x, return_params=True)
                 dt = self.dtype
+                mode = "spatial" if axis == "s" else "temporal"
+                if gate is not None and i == len(order) - 1:
+                    other, wg, bg = gate
+                    x = fused_gated_pair_block(
+                        x.astype(dt), other.astype(dt), ln1[0], ln1[1],
+                        wqkv.astype(dt), bqkv.astype(dt), wproj.astype(dt),
+                        bproj.astype(dt), ln2[0], ln2[1], w1.astype(dt),
+                        b1.astype(dt), w2.astype(dt), b2.astype(dt),
+                        wg.astype(dt), bg.astype(dt), self.num_heads,
+                        scale, mode)
+                    return x
                 x = fused_pair_block(
                     x.astype(dt), ln1[0], ln1[1], wqkv.astype(dt),
                     bqkv.astype(dt), wproj.astype(dt), bproj.astype(dt),
                     ln2[0], ln2[1], w1.astype(dt), b1.astype(dt),
                     w2.astype(dt), b2.astype(dt), self.num_heads, scale,
-                    "spatial" if axis == "s" else "temporal")
+                    mode)
             elif fuse_res:
                 x = attn(x, deterministic, ln=ln1, residual=True)
                 x = mlp(x, deterministic, ln=ln2, residual=True)
             else:
                 x = x + dp(attn(x, deterministic, ln=ln1))
                 x = x + dp(mlp(layer_norm(x, *ln2), deterministic))
+        if gate is not None:
+            other, wg, bg = gate
+            x = _gate_xla(other.astype(x.dtype), x, wg, bg)
         return x
 
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, gate=None):
         from motionbert_tpu.ops.attention import layer_norm
 
         dp = lambda y: self.droppath(y, deterministic=deterministic)
         if self.st_mode == "stage_st":
-            x = self._sub_blocks(x, ("s", "t"), deterministic)
+            x = self._sub_blocks(x, ("s", "t"), deterministic, gate=gate)
         elif self.st_mode == "stage_ts":
-            x = self._sub_blocks(x, ("t", "s"), deterministic)
+            x = self._sub_blocks(x, ("t", "s"), deterministic, gate=gate)
         elif self.st_mode == "stage_para":
             # legacy in-block parallel branches with optional per-channel
             # gate (reference DSTformer.py:250-264; DSTformer itself fuses
@@ -498,14 +517,23 @@ class DSTformer(nn.Module):
                 run = nn.remat(
                     lambda blk, y: blk(y, deterministic),
                     static_argnums=())
-                x_st = run(self.blocks_st[idx], x)
-                x_ts = run(self.blocks_ts[idx], x)
+                run_gated = nn.remat(
+                    lambda blk, y, other, wg, bg: blk(
+                        y, deterministic, gate=(other, wg, bg)),
+                    static_argnums=())
             else:
-                x_st = self.blocks_st[idx](x, deterministic)
-                x_ts = self.blocks_ts[idx](x, deterministic)
-            if self.att_fuse:
-                # concat([st, ts]) @ W == st @ W[:C] + ts @ W[C:], without
-                # materializing the 2C concat (a full extra HBM round-trip)
+                run = lambda blk, y: blk(y, deterministic)
+                run_gated = lambda blk, y, other, wg, bg: blk(
+                    y, deterministic, gate=(other, wg, bg))
+            x_st = run(self.blocks_st[idx], x)
+            if self.att_fuse and not self.collect_attn:
+                # the gate rides the ts-branch's last sub-block: fused into
+                # its pair kernel on the pallas path, a concat-free
+                # split-matmul (st @ W[:C] + ts @ W[C:]) otherwise
+                wg, bg = self.ts_attn[idx]()
+                x = run_gated(self.blocks_ts[idx], x, x_st, wg, bg)
+            elif self.att_fuse:
+                x_ts = run(self.blocks_ts[idx], x)
                 wg, bg = self.ts_attn[idx]()
                 Cf = self.dim_feat
                 alpha = (x_st @ wg[:Cf].astype(self.dtype)
@@ -513,17 +541,17 @@ class DSTformer(nn.Module):
                          + bg.astype(self.dtype))       # (B, F, J, 2)
                 alpha = jax.nn.softmax(
                     alpha.astype(jnp.float32), axis=-1).astype(self.dtype)
-                if self.collect_attn:
-                    # functional twin of the reference's dormant count_attn
-                    # hook (DSTformer.py:202-212): per-sample mean gate
-                    # weight for the two streams, sown per layer; read back
-                    # with apply(..., mutable=["intermediates"]) or via
-                    # attention_gate_stats below
-                    self.sow("intermediates", "gate_alpha",
-                             jnp.mean(alpha.astype(jnp.float32),
-                                      axis=(1, 2)))  # (B, 2)
+                # functional twin of the reference's dormant count_attn
+                # hook (DSTformer.py:202-212): per-sample mean gate weight
+                # for the two streams, sown per layer; read back with
+                # apply(..., mutable=["intermediates"]) or via
+                # attention_gate_stats below
+                self.sow("intermediates", "gate_alpha",
+                         jnp.mean(alpha.astype(jnp.float32),
+                                  axis=(1, 2)))  # (B, 2)
                 x = x_st * alpha[..., 0:1] + x_ts * alpha[..., 1:2]
             else:
+                x_ts = run(self.blocks_ts[idx], x)
                 x = (x_st + x_ts) * 0.5
         x = self.norm(x)
         if self.dim_rep:

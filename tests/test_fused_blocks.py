@@ -91,6 +91,40 @@ def test_fused_pair_block(mode):
                                    rtol=2e-4)
 
 
+@pytest.mark.parametrize("mode", ["spatial", "temporal"])
+def test_fused_gated_pair_block(mode):
+    """pair + att_fuse gate in one kernel == the XLA composition."""
+    from motionbert_tpu.ops.fused_pair import (
+        _gated_pair_xla, fused_gated_pair_block)
+
+    B, F, J, C, H = 2, 9, 17, 32, 4
+    x = _mk((B, F, J, C), 0)
+    other = _mk((B, F, J, C), 20)
+    ln1 = _mk((C,), 1) * 0.1 + 1.0, _mk((C,), 2) * 0.1
+    wqkv, bqkv = _mk((C, 3 * C), 3) * 0.1, _mk((3 * C,), 4) * 0.1
+    wproj, bproj = _mk((C, C), 5) * 0.1, _mk((C,), 6) * 0.1
+    ln2 = _mk((C,), 7) * 0.1 + 1.0, _mk((C,), 8) * 0.1
+    w1, b1 = _mk((C, 2 * C), 9) * 0.1, _mk((2 * C,), 10) * 0.1
+    w2, b2 = _mk((2 * C, C), 11) * 0.1, _mk((C,), 12) * 0.1
+    wg = _mk((2 * C, 2), 13) * 0.1
+    bg = _mk((2,), 14) * 0.1 + 0.5
+    args = (x, other, *ln1, wqkv, bqkv, wproj, bproj, *ln2, w1, b1, w2, b2,
+            wg, bg)
+    scale = (C // H) ** -0.5
+    out = fused_gated_pair_block(*args, H, scale, mode)
+    ref = _gated_pair_xla(*args, H, scale, mode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5,
+                               rtol=3e-5)
+    # gradients through the custom VJP (x, other, wqkv, w2, wg, bg)
+    g1 = jax.grad(lambda *a: jnp.sum(fused_gated_pair_block(
+        *a, H, scale, mode) ** 2), argnums=(0, 1, 4, 12, 14, 15))(*args)
+    g2 = jax.grad(lambda *a: jnp.sum(_gated_pair_xla(
+        *a, H, scale, mode) ** 2), argnums=(0, 1, 4, 12, 14, 15))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=2e-4)
+
+
 def test_full_model_fused_vs_xla_paths():
     """Whole DSTformer: pallas (fully fused, interpreted on CPU) == xla."""
     from motionbert_tpu.models.dstformer import DSTformer
