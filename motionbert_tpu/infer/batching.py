@@ -1,0 +1,41 @@
+"""Batched inference over variable-length clip lists.
+
+The wild pipelines chunk a video into clip_len windows plus one shorter
+tail (data/dataset_wild.py). Running them one-by-one leaves the chip >90%
+idle at flagship dims; here same-length clips are grouped into fixed-size
+padded batches (one compiled shape per distinct length, tail padded by
+repeating the last clip) so the device sees full batches — the reference
+gets the same effect from its DataParallel'd DataLoader
+(/root/reference/infer_wild.py:33,66-70).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def run_batched(clips, batch_size: int, fn):
+    """Apply fn((B, T, ...)) -> pytree with leading batch dim over a list of
+    (T_i, ...) clips; returns the per-clip results in input order (numpy,
+    writable). Clips are grouped by length; undersized groups are padded to
+    the group's batch size so each length compiles exactly once."""
+    import jax
+
+    clips = list(clips)
+    by_len: dict = {}
+    for i, c in enumerate(clips):
+        by_len.setdefault(c.shape[0], []).append(i)
+    out = [None] * len(clips)
+    for _, idxs in sorted(by_len.items(), reverse=True):
+        bs = min(batch_size, len(idxs))
+        for s in range(0, len(idxs), bs):
+            grp = idxs[s:s + bs]
+            batch = np.stack([clips[j] for j in grp])
+            if len(grp) < bs:  # pad: one compiled shape per clip length
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], bs - len(grp), 0)])
+            res = fn(batch)
+            for k, j in enumerate(grp):
+                out[j] = jax.tree_util.tree_map(
+                    lambda a, kk=k: np.array(a[kk]), res)
+    return out

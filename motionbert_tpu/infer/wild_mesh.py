@@ -61,15 +61,15 @@ def run_wild_mesh(args, *, json_path: str, out_path: str, model, params,
         wild_dataset = WildDetDataset(json_path, clip_len=clip_len,
                                       scale_range=[1, 1], focus=focus)
 
+    from motionbert_tpu.infer.batching import run_batched
+
     eval_step = make_mesh_eval_step(model, smpl_model, flip_tta=True)
-    verts_all, reg3d_all = [], []
-    for i in range(len(wild_dataset)):
-        clip = wild_dataset[i][None]
-        out = eval_step(params, extra_vars, jnp.asarray(clip))
-        verts_all.append(np.asarray(out["verts"])[0])
-        reg3d_all.append(np.asarray(out["kp_3d"])[0])
-    verts_all = np.concatenate(verts_all)
-    reg3d_all = np.concatenate(reg3d_all)
+    clips = [wild_dataset[i] for i in range(len(wild_dataset))]
+    outs = run_batched(clips, int(args.get("infer_batch_size", 8)),
+                       lambda b: eval_step(params, extra_vars,
+                                           jnp.asarray(b)))
+    verts_all = np.concatenate([o["verts"] for o in outs])
+    reg3d_all = np.concatenate([o["kp_3d"] for o in outs])
 
     if ref_3d_motion_path:
         ref_pose = np.load(ref_3d_motion_path)

@@ -45,10 +45,13 @@ def run_wild_pose(args, *, json_path: str, out_path: str,
     eval_step = make_eval_step(model, no_conf=args.get("no_conf", False),
                                flip_tta=not args.get("no_flip_tta", False))
 
+    from motionbert_tpu.infer.batching import run_batched
+
+    clips = [wild_dataset[i] for i in range(len(wild_dataset))]
+    preds = run_batched(clips, int(args.get("infer_batch_size", 8)),
+                        lambda b: eval_step(params, jnp.asarray(b)))
     results_all = []
-    for i in range(len(wild_dataset)):
-        clip = wild_dataset[i][None]  # (1, T, 17, 3)
-        pred = np.array(eval_step(params, jnp.asarray(clip))[0])
+    for pred in preds:
         if args.get("rootrel", False):
             pred[:, 0, :] = 0  # zero the root joint (infer_wild.py:81-82)
         else:

@@ -117,3 +117,29 @@ def test_estimate_translation_recovers_known_camera():
     t_est = estimate_translation_np(S, joints_2d, np.ones(24),
                                     focal_length=f, img_size=img)
     np.testing.assert_allclose(t_est, t_true, atol=1e-6)
+
+
+def test_parity_gate_plumbing(tmp_path):
+    """tools/parity_gate.py runs the full convert->eval->compare pipeline
+    (on synthetic data; the released-checkpoint run needs egress)."""
+    import types
+
+    from motionbert_tpu.core.config import get_config
+    from motionbert_tpu.train.pose3d import train_with_config
+    from tools.parity_gate import run_gate
+
+    args = get_config("configs/pose3d/MB_train_synth_smoke.yaml")
+    args.epochs = 1
+    args.no_eval = True
+    ckpt = os.path.join(tmp_path, "ckpt")
+    opts = types.SimpleNamespace(checkpoint=ckpt, pretrained="", resume="",
+                                 evaluate="", selection="", seed=0)
+    train_with_config(args, opts)
+    ckpt_file = os.path.join(ckpt, "latest_epoch.ckpt")
+    assert os.path.exists(ckpt_file)
+    # published=anything, tol=inf: exercises the pipeline, not the number
+    assert run_gate("configs/pose3d/MB_train_synth_smoke.yaml", ckpt_file,
+                    published=0.0, tol=float("inf"))
+    # and the gate actually gates: a tiny tolerance must fail
+    assert not run_gate("configs/pose3d/MB_train_synth_smoke.yaml",
+                        ckpt_file, published=0.0, tol=1e-9)

@@ -73,3 +73,27 @@ def test_render_3d_video(tmp_path):
     motion = np.random.RandomState(0).normal(size=(4, 17, 3)).astype(np.float32)
     out = render_and_save(motion, os.path.join(tmp_path, "vid.mp4"), fps=5)
     assert os.path.exists(out)
+
+
+def test_run_batched_groups_and_orders():
+    """Same-length grouping, tail padding, per-clip order preservation."""
+    import jax.numpy as jnp
+
+    from motionbert_tpu.infer.batching import run_batched
+
+    clips = [np.full((243, 17, 3), i, np.float32) for i in range(5)]
+    clips.append(np.full((60, 17, 3), 99, np.float32))  # the short tail
+    calls = []
+
+    def fn(b):
+        calls.append(b.shape)
+        return jnp.asarray(b) * 2.0
+
+    out = run_batched(clips, batch_size=4, fn=fn)
+    assert [o.shape for o in out] == [c.shape for c in clips]
+    for o, c in zip(out, clips):
+        np.testing.assert_array_equal(o, c * 2.0)
+    # 5 full clips at bs=4 -> two padded (4, 243, ...) calls; tail alone
+    assert calls == [(4, 243, 17, 3), (4, 243, 17, 3), (1, 60, 17, 3)]
+    # outputs are writable host copies
+    out[0][0, 0, 0] = -1.0
