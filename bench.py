@@ -52,7 +52,7 @@ def _chain(fn, x0, iters):
     return best
 
 
-def bench_inference(model, variables, batches=(128, 256, 512), iters=8):
+def bench_inference(model, variables, batches=(1, 128, 256, 512), iters=8):
     import jax
     import jax.numpy as jnp
 
@@ -130,6 +130,7 @@ def main():
 
     infer = bench_inference(model, variables)
     best_batch, best = max(infer.items(), key=lambda kv: kv[1])
+    latency_ms = 1000.0 / infer[1] if 1 in infer else None
     train_cps = bench_training()
 
     tflops = best * FWD_GFLOP_PER_CLIP / 1000.0
@@ -143,6 +144,8 @@ def main():
             "per_batch_clips_per_sec": {str(k): round(v, 2)
                                         for k, v in infer.items()},
             "train_clips_per_sec": round(train_cps, 2),
+            "serving_latency_ms_batch1": (round(latency_ms, 1)
+                                          if latency_ms else None),
             "dtype": "bfloat16",
             "attn": "pallas-fused",
             "achieved_tflops": round(tflops, 1),

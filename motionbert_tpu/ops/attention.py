@@ -263,10 +263,7 @@ def _attention_fused_bwd(num_heads, scale, mode, res, g):
         return vjp(g)
     qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
     gh = _split_heads(g, num_heads)
-    if mode == "spatial":
-        perm, inv = "bfjhd->bfhjd", "bfhjd->bfjhd"
-    else:
-        perm, inv = "bfjhd->bjhfd", "bjhfd->bfjhd"
+    perm, inv = "bfjhd->bjhfd", "bjhfd->bfjhd"  # temporal (spatial returned)
     qt, kt, vt, gt = (jnp.einsum(perm, x) for x in (qh, kh, vh, gh))
 
     s = jnp.einsum("...nd,...md->...nm", qt, kt) * scale

@@ -35,6 +35,8 @@ def verify(batch: int = 4, frames: int = 243, joints: int = 17,
     from motionbert_tpu.ops.attention import (
         fused_attention_block, _fused_block_xla)
     from motionbert_tpu.ops.fused_mlp import fused_mlp_block, _fused_mlp_xla
+    from motionbert_tpu.ops.fused_pair import (
+        _gated_pair_xla, _pair_xla, fused_gated_pair_block, fused_pair_block)
 
     dt = jnp.bfloat16
     rs = np.random.RandomState(0)
@@ -107,6 +109,24 @@ def verify(batch: int = 4, frames: int = 243, joints: int = 17,
         lambda x, ls, lb, w1, b1, w2, b2: _fused_mlp_xla(
             x, ls, lb, w1, b1, w2, b2, True, True),
         (x, ln_s, ln_b, w1, b1, w2, b2))
+
+    # the hot path: attention+MLP pair and the gate-fused variant
+    pair_args = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, ln_s, ln_b,
+                 w1, b1, w2, b2)
+    wg = jnp.asarray(0.05 * rs.randn(2 * C, 2), dt)
+    bg = jnp.asarray([0.5, 0.5], dt)
+    other = jnp.asarray(rs.randn(batch, frames, joints, C) * 0.5, dt)
+    for mode in ("spatial", "temporal"):
+        check(
+            f"pair_{mode}",
+            lambda *a, m=mode: fused_pair_block(*a, heads, scale, m),
+            lambda *a, m=mode: _pair_xla(*a, heads, scale, m),
+            pair_args)
+    check(
+        "gated_pair",
+        lambda *a: fused_gated_pair_block(*a, heads, scale, "spatial"),
+        lambda *a: _gated_pair_xla(*a, heads, scale, "spatial"),
+        (x, other, *pair_args[1:], wg, bg))
 
     report["status"] = "pass"
     return report
