@@ -143,6 +143,26 @@ def _pick_batch_block(B: int, per_b_bytes: int, budget: int = 6 << 20) -> int:
     return 1
 
 
+def _vmem_params(limit_bytes: int):
+    """Mosaic compiler params raising the scoped-VMEM limit (the 16MB
+    default rejects the batched backward kernels; the physical VMEM on this
+    chip comfortably fits ~28MB frames, CLAUDE.md)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cp = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
+    return cp(vmem_limit_bytes=limit_bytes)
+
+
+def _pick_bwd_batch_block(B: int, N: int, C: int, itemsize: int) -> int:
+    """Batch block for the standalone attention backward kernel. Measured
+    on the dev chip at flagship dims: bb=4 runs ~7% SLOWER than bb=1
+    (18.2 vs 17.0 ms spatial — fewer grid steps to overlap DMA against),
+    so one batch element per program stays the configuration. The kernel
+    itself is bb-generic; the fused pair backward (ops.fused_pair) is where
+    batching pays, because its per-program compute is ~3x larger."""
+    return 1
+
+
 def _temporal_pallas(q, k, v, num_heads, scale):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -431,8 +451,8 @@ def layer_norm(x, scale, bias, eps=1e-6):
 # blocks, which stay VMEM-resident across the (sequential) grid and
 # accumulate; they are zero-initialized by the first program.
 
-def _fused_block_bwd_kernel(num_heads, scale, num_joints, total_tokens, mode,
-                            use_ln, residual,
+def _fused_block_bwd_kernel(num_heads, scale, bb, num_joints, total_tokens,
+                            mode, use_ln, residual,
                             x_ref, g_ref, ln_s_ref, ln_b_ref, wqkv_ref,
                             bqkv_ref, wproj_ref,
                             dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
@@ -455,6 +475,7 @@ def _fused_block_bwd_kernel(num_heads, scale, num_joints, total_tokens, mode,
         dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
 
     same_mask = None
+    row_valid = None
     if mode == "spatial":
         start = pl.program_id(1) * N
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) + start
@@ -462,94 +483,98 @@ def _fused_block_bwd_kernel(num_heads, scale, num_joints, total_tokens, mode,
         row_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // num_joints
         col_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // num_joints
         same_mask = row_f == col_f
-        xb = jnp.where(row_valid, x_ref[0], 0)
-        gb = jnp.where(row_valid, g_ref[0], 0)
-    else:
-        xb = x_ref[0]
-        gb = g_ref[0]
-    dtype = xb.dtype
 
-    # ---- forward recompute (VMEM) ----
-    if use_ln:
-        xf = xb.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-        rstd = jax.lax.rsqrt(var + eps)
-        xhat = (xf - mu) * rstd
-        hf = xhat * ln_s_ref[0].astype(jnp.float32) \
-            + ln_b_ref[0].astype(jnp.float32)
-        hb = hf.astype(dtype)
-    else:
-        hb = xb
-    qkv_scr[:] = _dot(hb, wqkv_ref[:]) + bqkv_ref[0]  # (N, 3C) f32
+    for b in range(bb):
+        if row_valid is not None:
+            xb = jnp.where(row_valid, x_ref[b], 0)
+            gb = jnp.where(row_valid, g_ref[b], 0)
+        else:
+            xb = x_ref[b]
+            gb = g_ref[b]
+        dtype = xb.dtype
 
-    # ---- output projection backward ----
-    # dattn = g W_proj^T ; dW_proj += attn^T g ; db_proj += colsum(g)
-    dattn = jax.lax.dot_general(
-        gb, wproj_ref[:].astype(dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (N, C)
-    dbproj_ref[0] += jnp.sum(gb.astype(jnp.float32), axis=0)
+        # ---- forward recompute (VMEM) ----
+        if use_ln:
+            xf = xb.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+            rstd = jax.lax.rsqrt(var + eps)
+            xhat = (xf - mu) * rstd
+            hf = xhat * ln_s_ref[0].astype(jnp.float32) \
+                + ln_b_ref[0].astype(jnp.float32)
+            hb = hf.astype(dtype)
+        else:
+            hb = xb
+        qkv_scr[:] = _dot(hb, wqkv_ref[:]) + bqkv_ref[0]  # (N, 3C) f32
 
-    # ---- attention forward + backward per head ----
-    for h in range(num_heads):
-        qs = slice(h * d, (h + 1) * d)
-        ks = slice(C + h * d, C + (h + 1) * d)
-        vs = slice(2 * C + h * d, 2 * C + (h + 1) * d)
-        q = qkv_scr[:, qs].astype(dtype)
-        k = qkv_scr[:, ks].astype(dtype)
-        v = qkv_scr[:, vs].astype(dtype)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        if same_mask is not None:
-            s = jnp.where(same_mask, s, jnp.float32(-1e30))
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)   # (N, N) f32
-        pb = p.astype(dtype)
-        attn_scr[:, h * d:(h + 1) * d] = _dot(pb, v).astype(dtype)
+        # ---- output projection backward ----
+        # dattn = g W_proj^T ; dW_proj += attn^T g ; db_proj += colsum(g)
+        dattn = jax.lax.dot_general(
+            gb, wproj_ref[:].astype(dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (N, C)
+        dbproj_ref[0] += jnp.sum(gb.astype(jnp.float32), axis=0)
 
-        da = dattn[:, h * d:(h + 1) * d].astype(dtype)   # (N, d)
-        dv = jax.lax.dot_general(pb, da, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(da, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds = (ds * scale).astype(dtype)
-        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dqkv_scr[:, qs] = dq
-        dqkv_scr[:, ks] = dk
-        dqkv_scr[:, vs] = dv
+        # ---- attention forward + backward per head ----
+        for h in range(num_heads):
+            qs = slice(h * d, (h + 1) * d)
+            ks = slice(C + h * d, C + (h + 1) * d)
+            vs = slice(2 * C + h * d, 2 * C + (h + 1) * d)
+            q = qkv_scr[:, qs].astype(dtype)
+            k = qkv_scr[:, ks].astype(dtype)
+            v = qkv_scr[:, vs].astype(dtype)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if same_mask is not None:
+                s = jnp.where(same_mask, s, jnp.float32(-1e30))
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)   # (N, N) f32
+            pb = p.astype(dtype)
+            attn_scr[:, h * d:(h + 1) * d] = _dot(pb, v).astype(dtype)
 
-    dwproj_ref[:] += jax.lax.dot_general(
-        attn_scr[:], gb, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+            da = dattn[:, h * d:(h + 1) * d].astype(dtype)   # (N, d)
+            dv = jax.lax.dot_general(pb, da, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(da, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = (ds * scale).astype(dtype)
+            dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dqkv_scr[:, qs] = dq
+            dqkv_scr[:, ks] = dk
+            dqkv_scr[:, vs] = dv
 
-    # ---- qkv projection backward ----
-    dqkv = dqkv_scr[:].astype(dtype)
-    dwqkv_ref[:] += jax.lax.dot_general(
-        hb, dqkv, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dbqkv_ref[0] += jnp.sum(dqkv_scr[:], axis=0)
-    dh = jax.lax.dot_general(
-        dqkv, wqkv_ref[:].astype(dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (N, C)
+        dwproj_ref[:] += jax.lax.dot_general(
+            attn_scr[:], gb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    # ---- LayerNorm backward + residual ----
-    if use_ln:
-        dls_ref[0] += jnp.sum(dh * xhat, axis=0)
-        dlb_ref[0] += jnp.sum(dh, axis=0)
-        dy = dh * ln_s_ref[0].astype(jnp.float32)
-        m1 = jnp.mean(dy, axis=-1, keepdims=True)
-        m2 = jnp.mean(dy * xhat, axis=-1, keepdims=True)
-        dx = rstd * (dy - m1 - xhat * m2)
-    else:
-        dx = dh
-    if residual:
-        dx = dx + gb.astype(jnp.float32)
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+        # ---- qkv projection backward ----
+        dqkv = dqkv_scr[:].astype(dtype)
+        dwqkv_ref[:] += jax.lax.dot_general(
+            hb, dqkv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbqkv_ref[0] += jnp.sum(dqkv_scr[:], axis=0)
+        dh = jax.lax.dot_general(
+            dqkv, wqkv_ref[:].astype(dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (N, C)
+
+        # ---- LayerNorm backward + residual ----
+        if use_ln:
+            dls_ref[0] += jnp.sum(dh * xhat, axis=0)
+            dlb_ref[0] += jnp.sum(dh, axis=0)
+            dy = dh * ln_s_ref[0].astype(jnp.float32)
+            m1 = jnp.mean(dy, axis=-1, keepdims=True)
+            m2 = jnp.mean(dy * xhat, axis=-1, keepdims=True)
+            dx = rstd * (dy - m1 - xhat * m2)
+        else:
+            dx = dh
+        if residual:
+            dx = dx + gb.astype(jnp.float32)
+        dx_ref[b] = dx.astype(dx_ref.dtype)
 
 
 def _fused_block_bwd_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
@@ -561,22 +586,24 @@ def _fused_block_bwd_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
     if mode == "temporal":
         N, total = F, None
         reshape = (B, F, J * C)
-        x_spec = pl.BlockSpec((1, F, C), lambda b, t: (b, 0, t),
+        bb = _pick_bwd_batch_block(B, F, C, x.dtype.itemsize)
+        x_spec = pl.BlockSpec((bb, F, C), lambda b, t: (b, 0, t),
                               memory_space=pltpu.VMEM)
-        grid = (B, J)
+        grid = (B // bb, J)
     else:
         tf = 8
         N, total = tf * J, F * J
         reshape = (B, F * J, C)
-        x_spec = pl.BlockSpec((1, N, C), lambda b, t: (b, t, 0),
+        bb = _pick_bwd_batch_block(B, tf * J, C, x.dtype.itemsize)
+        x_spec = pl.BlockSpec((bb, N, C), lambda b, t: (b, t, 0),
                               memory_space=pltpu.VMEM)
-        grid = (B, (F + tf - 1) // tf)
+        grid = (B // bb, (F + tf - 1) // tf)
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda b, t: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_fused_block_bwd_kernel, num_heads, scale, J,
+        functools.partial(_fused_block_bwd_kernel, num_heads, scale, bb, J,
                           total, mode, use_ln, residual),
         grid=grid,
         in_specs=[x_spec, x_spec, const((1, C)), const((1, C)),
@@ -597,6 +624,7 @@ def _fused_block_bwd_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
             pltpu.VMEM((N, 3 * C), f32),   # dqkv
             pltpu.VMEM((N, C), x.dtype),   # attn
         ],
+        compiler_params=_vmem_params(40 << 20),
         interpret=not _on_tpu(),
     )(x.reshape(reshape), g.reshape(reshape),
       ln_scale.reshape(1, -1), ln_bias.reshape(1, -1), wqkv,

@@ -34,10 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from motionbert_tpu.ops.attention import (
-    _attn_rows, _dot, _fused_block_bwd_pallas, _fused_block_pallas,
-    _fused_block_xla, _ln_rows, _on_tpu)
-from motionbert_tpu.ops.fused_mlp import _erf, _fused_mlp_bwd_pallas, \
-    _fused_mlp_xla
+    _attn_rows, _dot, _fused_block_xla, _ln_rows, _on_tpu, _vmem_params)
+from motionbert_tpu.ops.fused_mlp import _erf, _fused_mlp_xla
 
 
 def _spatial_masks(N, num_joints, total_tokens):
@@ -211,6 +209,366 @@ def _gated_pair_xla(x, other, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
     return _gate_xla(other, out, wg, bg)
 
 
+# ---------------------------------------------------------------------------
+# Fused pair BACKWARD kernel
+#
+# One kernel per (batch-block, token-tile) program computes the ENTIRE pair
+# gradient: recompute attention forward (once — its qkv and probabilities
+# are stashed in VMEM scratch and reused by the attention backward, where
+# the two-kernel composition recomputed them a second time), MLP backward,
+# attention backward, emitting dx plus all 12 weight/bias/LN gradients
+# through constant-index accumulating output blocks. The intermediate y / dy
+# never touch HBM. The gated variant additionally recomputes the MLP output
+# and backprops the att_fuse gate in the same program (d_other + gate-weight
+# grads), eliminating the separate full-pair recompute the XLA gate vjp
+# needed. Numerics keep the two-kernel composition's rounding points
+# (y and dy round to the compute dtype at the sub-block boundary).
+# ---------------------------------------------------------------------------
+
+def _ln_fwd_stats(xb, s_ref, b_ref, eps=1e-6):
+    """LN forward returning (xhat, rstd, h_f32) for reuse in backward."""
+    xf = xb.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    h = xhat * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    return xhat, rstd, h
+
+
+def _ln_bwd_rows(dh, xhat, rstd, s_ref, dls_ref, dlb_ref):
+    """LN backward; accumulates scale/bias grads, returns dx rows (f32)."""
+    dls_ref[0] += jnp.sum(dh * xhat, axis=0)
+    dlb_ref[0] += jnp.sum(dh, axis=0)
+    dy = dh * s_ref[0].astype(jnp.float32)
+    m1 = jnp.mean(dy, axis=-1, keepdims=True)
+    m2 = jnp.mean(dy * xhat, axis=-1, keepdims=True)
+    return rstd * (dy - m1 - xhat * m2)
+
+
+def _dot_t(a, b):
+    """a @ b^T with f32 accumulation."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_at(a, b):
+    """a^T @ b with f32 accumulation."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _pair_bwd_body(b, num_heads, scale, same_mask, row_valid, gated,
+                   x_ref, other_ref, g_ref,
+                   ln1_s_ref, ln1_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                   bproj_ref, ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref,
+                   b2_ref, wga_ref, wgb_ref, bg_ref,
+                   dx_ref, dother_ref, dls1_ref, dlb1_ref, dwqkv_ref,
+                   dbqkv_ref, dwproj_ref, dbproj_ref, dls2_ref, dlb2_ref,
+                   dw1_ref, db1_ref, dw2_ref, db2_ref, dwga_ref, dwgb_ref,
+                   dbg_ref, qkv_scr, dqkv_scr, attn_scr, p_scr):
+    C = x_ref.shape[-1]
+    d = C // num_heads
+    if row_valid is not None:
+        xb = jnp.where(row_valid, x_ref[b], 0)
+        gb = jnp.where(row_valid, g_ref[b], 0)
+    else:
+        xb = x_ref[b]
+        gb = g_ref[b]
+    dtype = xb.dtype
+
+    # ---- attention sub-block forward recompute (qkv/p/attn kept in VMEM
+    # scratch for the backward passes below) ----
+    xhat1, rstd1, h1f = _ln_fwd_stats(xb, ln1_s_ref, ln1_b_ref)
+    h1 = h1f.astype(dtype)
+    qkv_scr[:] = _dot(h1, wqkv_ref[:]) + bqkv_ref[0]         # (N, 3C) f32
+    for h in range(num_heads):
+        qs = slice(h * d, (h + 1) * d)
+        ks = slice(C + h * d, C + (h + 1) * d)
+        vs = slice(2 * C + h * d, 2 * C + (h + 1) * d)
+        q = qkv_scr[:, qs].astype(dtype)
+        k = qkv_scr[:, ks].astype(dtype)
+        v = qkv_scr[:, vs].astype(dtype)
+        s = _dot_t(q, k) * scale
+        if same_mask is not None:
+            s = jnp.where(same_mask, s, jnp.float32(-1e30))
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)           # (N, N) f32
+        p_scr[h] = p
+        attn_scr[:, qs] = _dot(p.astype(dtype), v).astype(dtype)
+    yf = _dot(attn_scr[:], wproj_ref[:]) + bproj_ref[0] \
+        + xb.astype(jnp.float32)
+    yb = yf.astype(dtype)  # the sub-block boundary rounding (parity)
+
+    # ---- MLP forward recompute ----
+    xhat2, rstd2, h2f = _ln_fwd_stats(yb, ln2_s_ref, ln2_b_ref)
+    h2 = h2f.astype(dtype)
+    z = _dot(h2, w1_ref[:]) + b1_ref[0]                      # (N, hidden) f32
+    inv_sqrt2 = np.float32(0.7071067811865476)
+    cdf = 0.5 * (1.0 + _erf(z * inv_sqrt2))
+    a = (z * cdf).astype(dtype)
+
+    if gated:
+        # pair output + att_fuse gate backward (reference DSTformer.py:
+        # 340-351). Mask `other` too: garbage edge rows otherwise poison
+        # the accumulated gate-weight grads through exp/NaN.
+        otherb = other_ref[b]
+        if row_valid is not None:
+            otherb = jnp.where(row_valid, otherb, 0)
+        out_b = (_dot(a, w2_ref[:]) + b2_ref[0]
+                 + yb.astype(jnp.float32)).astype(dtype)
+        sg = (_dot(otherb, wga_ref[:]) + _dot(out_b, wgb_ref[:])
+              + bg_ref[0].astype(jnp.float32))               # (N, 2) f32
+        m = jnp.max(sg, axis=-1, keepdims=True)
+        e = jnp.exp(sg - m)
+        alpha = e / jnp.sum(e, axis=-1, keepdims=True)       # (N, 2) f32
+        ga = gb.astype(jnp.float32)
+        dal0 = jnp.sum(ga * otherb.astype(jnp.float32), axis=-1,
+                       keepdims=True)
+        dal1 = jnp.sum(ga * out_b.astype(jnp.float32), axis=-1,
+                       keepdims=True)
+        dal = jnp.concatenate([dal0, dal1], axis=-1)         # (N, 2)
+        dsg = alpha * (dal - jnp.sum(dal * alpha, axis=-1, keepdims=True))
+        dsgb = dsg.astype(dtype)
+        dother = ga * alpha[:, 0:1] + _dot_t(dsgb, wga_ref[:])
+        dout = ga * alpha[:, 1:2] + _dot_t(dsgb, wgb_ref[:])
+        dwga_ref[:] += _dot_at(otherb, dsgb)
+        dwgb_ref[:] += _dot_at(out_b, dsgb)
+        dbg_ref[0] += jnp.sum(dsg, axis=0)
+        dother_ref[b] = dother.astype(dtype)
+        gmlp = dout.astype(dtype)                            # grad into pair
+    else:
+        gmlp = gb
+
+    # ---- MLP backward ----
+    dw2_acc = _dot_at(a, gmlp)
+    dw2_ref[:] += dw2_acc
+    db2_ref[0] += jnp.sum(gmlp.astype(jnp.float32), axis=0)
+    da = _dot_t(gmlp, w2_ref[:].astype(dtype))               # (N, hidden) f32
+    pdf = jnp.exp(-0.5 * z * z) * np.float32(0.3989422804014327)
+    dz = (da * (cdf + z * pdf)).astype(dtype)
+    dw1_ref[:] += _dot_at(h2, dz)
+    db1_ref[0] += jnp.sum(dz.astype(jnp.float32), axis=0)
+    dh2 = _dot_t(dz, w1_ref[:].astype(dtype))                # (N, C) f32
+    dy = _ln_bwd_rows(dh2, xhat2, rstd2, ln2_s_ref, dls2_ref, dlb2_ref) \
+        + gmlp.astype(jnp.float32)                           # +residual
+    dyb = dy.astype(dtype)  # the sub-block boundary rounding (parity)
+
+    # ---- attention backward (reuses qkv_scr / p_scr / attn_scr) ----
+    dattn = _dot_t(dyb, wproj_ref[:].astype(dtype))          # (N, C) f32
+    dbproj_ref[0] += jnp.sum(dyb.astype(jnp.float32), axis=0)
+    dwproj_ref[:] += _dot_at(attn_scr[:], dyb)
+    for h in range(num_heads):
+        qs = slice(h * d, (h + 1) * d)
+        ks = slice(C + h * d, C + (h + 1) * d)
+        vs = slice(2 * C + h * d, 2 * C + (h + 1) * d)
+        q = qkv_scr[:, qs].astype(dtype)
+        k = qkv_scr[:, ks].astype(dtype)
+        v = qkv_scr[:, vs].astype(dtype)
+        p = p_scr[h]                                         # (N, N) f32
+        pb = p.astype(dtype)
+        dah = dattn[:, qs].astype(dtype)                     # (N, d)
+        dv = _dot_at(pb, dah)
+        dp = _dot_t(dah, v)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(dtype)
+        dq = _dot(ds, k)
+        dk = _dot_at(ds, q)
+        dqkv_scr[:, qs] = dq
+        dqkv_scr[:, ks] = dk
+        dqkv_scr[:, vs] = dv
+    dqkv = dqkv_scr[:].astype(dtype)
+    dwqkv_ref[:] += _dot_at(h1, dqkv)
+    dbqkv_ref[0] += jnp.sum(dqkv_scr[:], axis=0)
+    dh1 = _dot_t(dqkv, wqkv_ref[:].astype(dtype))            # (N, C) f32
+    dx = _ln_bwd_rows(dh1, xhat1, rstd1, ln1_s_ref, dls1_ref, dlb1_ref) \
+        + dyb.astype(jnp.float32)                            # +residual
+    dx_ref[b] = dx.astype(dtype)
+
+
+def _pair_bwd_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
+                     gated, *refs):
+    from jax.experimental import pallas as pl
+
+    x_ref = refs[0]
+    N = x_ref.shape[1]
+    row_valid, same_mask = (None, None) if mode != "spatial" else \
+        _spatial_masks(N, num_joints, total_tokens)
+
+    if gated:
+        ins, outs = refs[:18], refs[18:35]
+        scr = refs[35:]
+        (x_ref, other_ref, g_ref, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+         ln2_s, ln2_b, w1, b1, w2, b2, wga, wgb, bg) = ins
+        (dx, dother, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2, dlb2,
+         dw1, db1, dw2, db2, dwga, dwgb, dbg) = outs
+    else:
+        ins, outs = refs[:15], refs[15:29]
+        scr = refs[29:]
+        (x_ref, g_ref, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+         ln2_s, ln2_b, w1, b1, w2, b2, _b2unused) = ins[:15]
+        other_ref = None
+        (dx, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2, dlb2,
+         dw1, db1, dw2, db2, _pad) = outs
+        dother = dwga = dwgb = dbg = None
+        wga = wgb = bg = None
+    qkv_scr, dqkv_scr, attn_scr, p_scr = scr
+
+    grad_refs = [r for r in (dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2,
+                             dlb2, dw1, db1, dw2, db2, dwga, dwgb, dbg)
+                 if r is not None]
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _zero():
+        for r in grad_refs:
+            r[:] = jnp.zeros_like(r)
+
+    for b in range(bb):
+        _pair_bwd_body(
+            b, num_heads, scale, same_mask, row_valid, gated,
+            x_ref, other_ref, g_ref,
+            ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1,
+            w2, b2, wga, wgb, bg,
+            dx, dother, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2,
+            dlb2, dw1, db1, dw2, db2, dwga, dwgb, dbg,
+            qkv_scr, dqkv_scr, attn_scr, p_scr)
+
+
+def _pick_pair_bwd_batch_block(B, N, C, hidden, num_heads, itemsize, gated,
+                               budget: int = 24 << 20) -> int:
+    """Largest divisor of B fitting: resident weights (bf16) + f32 grad
+    accumulators + scratch (qkv/dqkv/p/attn) + bb double-buffered streams."""
+    weights = (3 * C * C + C * C + 2 * C * hidden) * itemsize
+    grads = (3 * C * C + C * C + 2 * C * hidden) * 4
+    scratch = N * (3 * C + 3 * C) * 4 + N * C * itemsize \
+        + num_heads * N * N * 4
+    streams_per_b = (5 if gated else 3) * N * C * itemsize * 2
+    fixed = weights + grads + scratch
+    for bb in (8, 4, 2, 1):
+        if B % bb == 0 and fixed + bb * streams_per_b <= budget:
+            return bb
+    return 1
+
+
+def _pair_bwd_pallas(x, other, g, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
+                     ln2_s, ln2_b, w1, b1, w2, b2, wg, bg, num_heads, scale,
+                     mode):
+    """Launch the fused pair backward. other/wg/bg of None -> plain pair."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gated = other is not None
+    B, F, J, C = x.shape
+    hidden = w1.shape[1]
+    dtype = x.dtype
+    bb = _pick_pair_bwd_batch_block(B, F if mode == "temporal" else 8 * J,
+                                    C, hidden, num_heads, dtype.itemsize,
+                                    gated)
+    if mode == "temporal":
+        N, total = F, None
+        reshape = (B, F, J * C)
+        x_spec = pl.BlockSpec((bb, F, C), lambda b, t: (b, 0, t),
+                              memory_space=pltpu.VMEM)
+        grid = (B // bb, J)
+    else:
+        tf = 8
+        N, total = tf * J, F * J
+        reshape = (B, F * J, C)
+        x_spec = pl.BlockSpec((bb, N, C), lambda b, t: (b, t, 0),
+                              memory_space=pltpu.VMEM)
+        grid = (B // bb, (F + tf - 1) // tf)
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b, t: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    w_shapes = [((1, C), ln1_s), ((1, C), ln1_b), (wqkv.shape, wqkv),
+                ((1, 3 * C), bqkv), (wproj.shape, wproj), ((1, C), bproj),
+                ((1, C), ln2_s), ((1, C), ln2_b), (w1.shape, w1),
+                ((1, hidden), b1), (w2.shape, w2), ((1, C), b2)]
+
+    in_specs = [x_spec] + ([x_spec] if gated else []) + [x_spec] \
+        + [const(s) for s, _ in w_shapes]
+    inputs = [x.reshape(reshape)] \
+        + ([other.reshape(reshape)] if gated else []) + [g.reshape(reshape)] \
+        + [arr.reshape(s) if arr.ndim == 1 else arr for s, arr in w_shapes]
+    if gated:
+        in_specs += [const((C, 2)), const((C, 2)), const((1, 2))]
+        inputs += [wg[:C], wg[C:], bg.reshape(1, -1)]
+    else:
+        # pad the input list so the kernel's fixed unpacking stays uniform
+        in_specs += [const((1, C))]
+        inputs += [b2.reshape(1, -1)]
+
+    grad_outs = [
+        (const((1, C)), (1, C), f32),          # dls1
+        (const((1, C)), (1, C), f32),          # dlb1
+        (const(wqkv.shape), wqkv.shape, f32),  # dwqkv
+        (const((1, 3 * C)), (1, 3 * C), f32),  # dbqkv
+        (const(wproj.shape), wproj.shape, f32),
+        (const((1, C)), (1, C), f32),          # dbproj
+        (const((1, C)), (1, C), f32),          # dls2
+        (const((1, C)), (1, C), f32),          # dlb2
+        (const(w1.shape), w1.shape, f32),
+        (const((1, hidden)), (1, hidden), f32),
+        (const(w2.shape), w2.shape, f32),
+        (const((1, C)), (1, C), f32),          # db2
+    ]
+    out_specs = [x_spec] + ([x_spec] if gated else [])
+    out_shapes = [jax.ShapeDtypeStruct(reshape, dtype)] \
+        + ([jax.ShapeDtypeStruct(reshape, dtype)] if gated else [])
+    out_specs += [s for s, _, _ in grad_outs]
+    out_shapes += [jax.ShapeDtypeStruct(sh, dt) for _, sh, dt in grad_outs]
+    if gated:
+        out_specs += [const((C, 2)), const((C, 2)), const((1, 2))]
+        out_shapes += [jax.ShapeDtypeStruct((C, 2), f32),
+                       jax.ShapeDtypeStruct((C, 2), f32),
+                       jax.ShapeDtypeStruct((1, 2), f32)]
+    else:
+        out_specs += [const((1, 2))]
+        out_shapes += [jax.ShapeDtypeStruct((1, 2), f32)]  # padding slot
+
+    outs = pl.pallas_call(
+        functools.partial(_pair_bwd_kernel, num_heads, scale, bb, J, total,
+                          mode, gated),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=[
+            pltpu.VMEM((N, 3 * C), f32),             # qkv
+            pltpu.VMEM((N, 3 * C), f32),             # dqkv
+            pltpu.VMEM((N, C), dtype),               # attn
+            pltpu.VMEM((num_heads, N, N), f32),      # p
+        ],
+        compiler_params=_vmem_params(48 << 20),
+        interpret=not _on_tpu(),
+    )(*inputs)
+
+    if gated:
+        (dx, dother, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2, dlb2,
+         dw1, db1, dw2, db2, dwga, dwgb, dbg) = outs
+    else:
+        (dx, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2, dlb2,
+         dw1, db1, dw2, db2, _pad) = outs
+    B4 = (B, F, J, C)
+    grads = dict(
+        dx=dx.reshape(B4).astype(dtype),
+        dls1=dls1[0].astype(ln1_s.dtype), dlb1=dlb1[0].astype(ln1_b.dtype),
+        dwqkv=dwqkv.astype(wqkv.dtype), dbqkv=dbqkv[0].astype(bqkv.dtype),
+        dwproj=dwproj.astype(wproj.dtype),
+        dbproj=dbproj[0].astype(bproj.dtype),
+        dls2=dls2[0].astype(ln2_s.dtype), dlb2=dlb2[0].astype(ln2_b.dtype),
+        dw1=dw1.astype(w1.dtype), db1=db1[0].astype(b1.dtype),
+        dw2=dw2.astype(w2.dtype), db2=db2[0].astype(b2.dtype))
+    if gated:
+        grads["dother"] = dother.reshape(B4).astype(dtype)
+        grads["dwg"] = jnp.concatenate(
+            [dwga, dwgb], axis=0).astype(wg.dtype)
+        grads["dbg"] = dbg[0].astype(bg.dtype)
+    return grads
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
 def fused_pair_block(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s,
                      ln2_b, w1, b1, w2, b2, num_heads, scale, mode):
@@ -230,19 +588,17 @@ def _pair_fwd(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
 
 
 def _pair_bwd(num_heads, scale, mode, res, g):
-    """Recompute y with the standalone fused attention kernel, then chain
-    the two existing fused backward kernels."""
+    """Single fused backward kernel for the whole pair (see
+    _pair_bwd_pallas): qkv/attention recomputed once, y/dy never leave
+    VMEM."""
     (x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
      w1, b1, w2, b2) = res
-    y = _fused_block_pallas(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
-                            num_heads, scale, mode, True, True)
-    dy, dls2, dlb2, dw1, db1, dw2, db2 = _fused_mlp_bwd_pallas(
-        y, ln2_s, ln2_b, w1, b1, w2, True, True, g)
-    dx, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj = _fused_block_bwd_pallas(
-        x, ln1_s, ln1_b, wqkv, bqkv, wproj, num_heads, scale, mode,
-        True, True, dy)
-    return (dx, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2, dlb2,
-            dw1, db1, dw2, db2)
+    gr = _pair_bwd_pallas(x, None, g, ln1_s, ln1_b, wqkv, bqkv, wproj,
+                          bproj, ln2_s, ln2_b, w1, b1, w2, b2, None, None,
+                          num_heads, scale, mode)
+    return (gr["dx"], gr["dls1"], gr["dlb1"], gr["dwqkv"], gr["dbqkv"],
+            gr["dwproj"], gr["dbproj"], gr["dls2"], gr["dlb2"],
+            gr["dw1"], gr["db1"], gr["dw2"], gr["db2"])
 
 
 fused_pair_block.defvjp(_pair_fwd, _pair_bwd)
@@ -314,18 +670,17 @@ def _gated_pair_fwd(x, other, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
 
 
 def _gated_pair_bwd(num_heads, scale, mode, res, g):
-    """Recompute the pair output with the fused pair kernel, backprop the
-    (cheap) gate in XLA, then chain the pair backward."""
+    """Single fused backward kernel: gate vjp + pair backward in one
+    program; the pair output is recomputed in VMEM, never in HBM."""
     (x, other, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
      w1, b1, w2, b2, wg, bg) = res
-    out = _pair_pallas(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s,
-                       ln2_b, w1, b1, w2, b2, num_heads, scale, mode)
-    _, gate_vjp = jax.vjp(_gate_xla, other, out, wg, bg)
-    d_other, d_out, d_wg, d_bg = gate_vjp(g)
-    pair_grads = _pair_bwd(num_heads, scale, mode,
-                           (x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
-                            ln2_s, ln2_b, w1, b1, w2, b2), d_out)
-    return (pair_grads[0], d_other, *pair_grads[1:], d_wg, d_bg)
+    gr = _pair_bwd_pallas(x, other, g, ln1_s, ln1_b, wqkv, bqkv, wproj,
+                          bproj, ln2_s, ln2_b, w1, b1, w2, b2, wg, bg,
+                          num_heads, scale, mode)
+    return (gr["dx"], gr["dother"], gr["dls1"], gr["dlb1"], gr["dwqkv"],
+            gr["dbqkv"], gr["dwproj"], gr["dbproj"], gr["dls2"], gr["dlb2"],
+            gr["dw1"], gr["db1"], gr["dw2"], gr["db2"], gr["dwg"],
+            gr["dbg"])
 
 
 fused_gated_pair_block.defvjp(_gated_pair_fwd, _gated_pair_bwd)

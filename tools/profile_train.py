@@ -1,0 +1,168 @@
+"""Training-step time breakdown at the shipped pose3d geometry (B=32).
+
+Isolates, with in-jit chaining (same methodology as bench.py):
+  fwd            — model forward only (bf16, fused pallas path)
+  fwd_bwd        — jax.grad of sum(model(x)) — pure model fwd+bwd
+  loss_fwd_bwd   — value_and_grad of the real pose3d loss
+  full_step      — the shipped train step (flip aug + loss + AdamW)
+and the two fused backward kernels individually at flagship dims with
+achieved-TFLOP/s accounting (bwd matmul FLOPs = 2x fwd: dx + dw).
+
+Diagnostic only; not run by the driver.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+B, F, J, C, H = 32, 243, 17, 512, 8
+TOKENS = B * F * J
+INNER = 8
+
+
+def timeit(make_run, reps=3):
+    import jax
+
+    out = make_run()
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(make_run())
+        best = min(best, (time.perf_counter() - t0) / INNER)
+    return best
+
+
+def chain(fn, x0):
+    import jax
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, INNER, lambda i, y: fn(y), x)
+
+    return timeit(lambda: run(x0))
+
+
+def main():
+    from motionbert_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from motionbert_tpu.models.dstformer import DSTformer
+    from motionbert_tpu.models.factory import FLAGSHIP_CONFIG
+    from motionbert_tpu.train.pose3d import make_train_step
+    from motionbert_tpu.train.state import TrainState, make_adamw
+
+    out = {}
+    rs = np.random.RandomState(0)
+    model = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas", remat=False,
+                      **FLAGSHIP_CONFIG)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 243, 17, 3)))["params"]
+
+    gt = jnp.asarray(rs.uniform(-1, 1, (B, 243, 17, 3)), jnp.float32)
+    inp = jnp.concatenate(
+        [gt[..., :2], jnp.ones((B, 243, 17, 1), jnp.float32)], -1)
+
+    # 1. forward only (self-chained on the input slot)
+    fwd = lambda x: model.apply({"params": params}, x)
+    x0 = jnp.asarray(rs.uniform(-1, 1, (B, 243, 17, 3)), jnp.bfloat16)
+    sec = chain(lambda x: fwd(x).astype(jnp.bfloat16), x0)
+    out["fwd"] = {"ms": round(sec * 1e3, 1), "clips_per_s": round(B / sec, 1)}
+
+    # 2. model fwd+bwd (grad wrt params of a trivial readout; chained on a
+    #    params-perturbation carry so iterations depend on each other)
+    def g_once(p):
+        def f(pp):
+            return jnp.sum(model.apply({"params": pp}, inp).astype(
+                jnp.float32))
+        g = jax.grad(f)(p)
+        return jax.tree.map(lambda a, b: a + 0.0 * b.astype(a.dtype), p, g)
+
+    sec = chain(g_once, params)
+    out["fwd_bwd"] = {"ms": round(sec * 1e3, 1),
+                      "clips_per_s": round(B / sec, 1)}
+
+    # 3/4. real loss + full step
+    state = TrainState.create(model.apply, params, make_adamw(5e-4, 0.01))
+    step = make_train_step(
+        model, dict(lambda_scale=0.5, lambda_3d_velocity=20.0, lambda_lv=0.0,
+                    lambda_lg=0.0, lambda_a=0.0, lambda_av=0.0),
+        rootrel=True, no_conf=False, use_mask=False, use_noise=False,
+        noise_params=None)
+
+    def one(carry):
+        st, r = carry
+        r, sub = jax.random.split(r)
+        st, _ = step(st, inp, gt, sub)
+        return (st, r)
+
+    sec = chain(one, (state, jax.random.PRNGKey(1)))
+    out["full_step"] = {"ms": round(sec * 1e3, 1),
+                        "clips_per_s": round(B / sec, 1)}
+
+    # 5. fused backward kernels in isolation, flagship dims
+    from motionbert_tpu.ops.attention import (
+        _fused_block_bwd_pallas, _fused_block_pallas)
+    from motionbert_tpu.ops.fused_mlp import _fused_mlp_bwd_pallas
+
+    dt = jnp.bfloat16
+    x = jnp.asarray(rs.randn(B, F, J, C) * 0.3, dt)
+    ln_s = jnp.ones((C,), jnp.float32)
+    ln_b = jnp.zeros((C,), jnp.float32)
+    wqkv = jnp.asarray(rs.randn(C, 3 * C) / np.sqrt(C), dt)
+    bqkv = jnp.zeros((3 * C,), dt)
+    wproj = jnp.asarray(rs.randn(C, C) / np.sqrt(C), dt)
+    bproj = jnp.zeros((C,), dt)
+    w1 = jnp.asarray(rs.randn(C, 2 * C) / np.sqrt(C), dt)
+    b1 = jnp.zeros((2 * C,), dt)
+    w2 = jnp.asarray(rs.randn(2 * C, C) / np.sqrt(2 * C), dt)
+    b2 = jnp.zeros((C,), dt)
+    scale = (C // H) ** -0.5
+    g = jnp.asarray(rs.randn(B, F, J, C) * 0.1, dt)
+
+    proj_flops = TOKENS * (2 * C * 3 * C + 2 * C * C)
+    mlp_flops = TOKENS * 2 * (2 * C * 2 * C)
+
+    for mode, rows in (("spatial", 8 * J), ("temporal", F)):
+        def attn_bwd(y, m=mode):
+            outs = _fused_block_bwd_pallas(y, ln_s, ln_b, wqkv, bqkv, wproj,
+                                           H, scale, m, True, True, g)
+            return outs[0]
+
+        sec = chain(attn_bwd, x)
+        score_flops = TOKENS * 4 * rows * C
+        # bwd: recompute fwd (1x) + dx/dw for each matmul (2x)
+        fl = 3 * (proj_flops + score_flops)
+        out[f"attn_bwd_{mode}"] = {"ms": round(sec * 1e3, 2),
+                                   "tflops": round(fl / sec / 1e12, 1)}
+
+    def mlp_bwd(y):
+        outs = _fused_mlp_bwd_pallas(y, ln_s, ln_b, w1, b1, w2, True, True, g)
+        return outs[0]
+
+    sec = chain(mlp_bwd, x)
+    out["mlp_bwd"] = {"ms": round(sec * 1e3, 2),
+                      "tflops": round(3 * mlp_flops / sec / 1e12, 1)}
+
+    # forward kernel at the same B for comparison
+    def attn_fwd(y):
+        return _fused_block_pallas(y, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                                   H, scale, "temporal", True, True)
+
+    sec = chain(attn_fwd, x)
+    fl = proj_flops + TOKENS * 4 * F * C
+    out["attn_fwd_temporal_b32"] = {"ms": round(sec * 1e3, 2),
+                                    "tflops": round(fl / sec / 1e12, 1)}
+
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
