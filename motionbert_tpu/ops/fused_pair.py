@@ -437,15 +437,18 @@ def _pair_bwd_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
 
 def _pick_pair_bwd_batch_block(B, N, C, hidden, num_heads, itemsize, gated,
                                budget: int = 24 << 20) -> int:
-    """Largest divisor of B fitting: resident weights (bf16) + f32 grad
-    accumulators + scratch (qkv/dqkv/p/attn) + bb double-buffered streams."""
+    """Largest measured-good divisor of B fitting: resident weights (bf16) +
+    f32 grad accumulators + scratch (qkv/dqkv/p/attn) + bb double-buffered
+    streams. Capped at bb=2: on the dev chip at flagship dims bb=4 measured
+    ~8% slower than bb=2 (25.1 vs 22.8 ms spatial, 19.4 vs 18.1 temporal) —
+    bigger blocks leave too few grid steps to overlap the stream DMAs."""
     weights = (3 * C * C + C * C + 2 * C * hidden) * itemsize
     grads = (3 * C * C + C * C + 2 * C * hidden) * 4
     scratch = N * (3 * C + 3 * C) * 4 + N * C * itemsize \
         + num_heads * N * N * 4
     streams_per_b = (5 if gated else 3) * N * C * itemsize * 2
     fixed = weights + grads + scratch
-    for bb in (8, 4, 2, 1):
+    for bb in (2, 1):
         if B % bb == 0 and fixed + bb * streams_per_b <= budget:
             return bb
     return 1

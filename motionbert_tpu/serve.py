@@ -1,0 +1,223 @@
+"""Production serving: async request batching over the jitted model.
+
+The reference has no serving layer — its closest thing is `infer_wild.py`
+run as a batch script (/root/reference/infer_wild.py). This module is a
+TPU-first addition for online serving: concurrent callers submit individual
+clips; a collector thread groups same-length requests into fixed-size
+padded device batches (one compiled executable per (clip_len, batch_bucket)
+pair, so the compile count stays bounded), runs each group as one jit
+dispatch, and resolves per-request futures.
+
+Grouping is by exact clip length because DSTformer's temporal attention
+attends over every frame of the clip — zero-padding the time axis would
+contaminate real frames (the same reason infer.batching compiles one shape
+per length). Padding the BATCH axis is free: batch elements are
+independent, so short groups are padded to the bucket size by repetition
+and the padding rows are dropped on the way out.
+
+    server = BatchingServer(jitted_fn)         # fn: (B, T, J, C) -> pytree
+    fut = server.submit(clip)                  # clip: (T, J, C)
+    result = fut.result()                      # (T, J, C) numpy
+
+    mb_server = MotionBERTServer.from_config(cfg, checkpoint=...)
+    pose3d = mb_server.lift(motion_2d).result()
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class ServerStats:
+    """Aggregate serving counters (thread-safe under the worker's lock)."""
+    requests: int = 0
+    batches: int = 0
+    padded_rows: int = 0
+    batch_sizes: list = field(default_factory=list)
+
+    @property
+    def avg_batch_size(self) -> float:
+        return (sum(self.batch_sizes) / len(self.batch_sizes)
+                if self.batch_sizes else 0.0)
+
+
+class BatchingServer:
+    """Groups concurrent single-clip requests into device batches.
+
+    fn: callable taking a (B, T, J, C) numpy/jax array and returning an
+        array or pytree with a leading batch dimension.
+    batch_buckets: allowed device batch sizes, ascending. A group of n
+        same-length requests runs at the smallest bucket >= n (padded by
+        repeating the last clip) or is split into full buckets — so each
+        clip length compiles at most len(batch_buckets) executables.
+    max_wait_ms: how long the collector holds an incomplete batch open for
+        stragglers before dispatching (the latency/throughput knob).
+    """
+
+    def __init__(self, fn: Callable, batch_buckets: Sequence[int] =
+                 (1, 8, 32, 128), max_wait_ms: float = 5.0,
+                 max_queue: int = 4096):
+        if list(batch_buckets) != sorted(set(batch_buckets)):
+            raise ValueError("batch_buckets must be ascending and unique")
+        self._fn = fn
+        self._buckets = tuple(int(b) for b in batch_buckets)
+        self._max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._closed = False
+        self.stats = ServerStats()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="mbt-serving-collector")
+        self._worker.start()
+
+    # -- client side --------------------------------------------------------
+
+    def submit(self, clip: np.ndarray) -> Future:
+        """Enqueue one (T, ...) clip; returns a Future of fn's per-clip
+        output (numpy, leading batch dim removed)."""
+        if self._closed:
+            raise RuntimeError("server is shut down")
+        fut: Future = Future()
+        self._q.put((np.asarray(clip), fut))
+        return fut
+
+    def shutdown(self, wait: bool = True):
+        """Stop accepting work; drain the queue, then stop the worker."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)  # sentinel
+        if wait:
+            self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    # -- worker side --------------------------------------------------------
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self._buckets[-1]
+
+    def _collect(self):
+        """Block for one item, then gather more until the oldest item's
+        deadline passes or the largest bucket fills. Returns (items, done)
+        where items is a list of (clip, future)."""
+        first = self._q.get()
+        if first is None:
+            return [], True
+        items = [first]
+        deadline = time.monotonic() + self._max_wait
+        while len(items) < self._buckets[-1]:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                return items, True
+            items.append(nxt)
+        return items, False
+
+    def _dispatch_group(self, group):
+        """Run one same-length group as bucket-padded device batches."""
+        import jax
+
+        while group:
+            take = min(len(group), self._buckets[-1])
+            chunk, group = group[:take], group[take:]
+            bucket = self._bucket_for(len(chunk))
+            batch = np.stack([c for c, _ in chunk])
+            pad = bucket - len(chunk)
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], pad, 0)])
+            try:
+                res = self._fn(batch)
+            except Exception as e:  # propagate to every caller in the batch
+                for _, fut in chunk:
+                    fut.set_exception(e)
+                continue
+            self.stats.batches += 1
+            self.stats.padded_rows += pad
+            self.stats.batch_sizes.append(len(chunk))
+            for k, (_, fut) in enumerate(chunk):
+                fut.set_result(jax.tree_util.tree_map(
+                    lambda a, kk=k: np.asarray(a[kk]), res))
+
+    def _run(self):
+        done = False
+        while not done:
+            items, done = self._collect()
+            if not items:
+                continue
+            self.stats.requests += len(items)
+            by_len: dict = {}
+            for clip, fut in items:
+                by_len.setdefault(clip.shape[0], []).append((clip, fut))
+            # largest groups first: best amortization while stragglers of
+            # other lengths keep queueing behind
+            for _, grp in sorted(by_len.items(),
+                                 key=lambda kv: -len(kv[1])):
+                self._dispatch_group(grp)
+
+
+class MotionBERTServer:
+    """Online-serving facade over api.MotionBERT: batched flip-TTA 3D
+    lifting and representation extraction behind futures."""
+
+    def __init__(self, mb, batch_buckets: Sequence[int] = (1, 8, 32, 128),
+                 max_wait_ms: float = 5.0):
+        import jax
+
+        self.mb = mb
+        self._lift = BatchingServer(
+            jax.jit(lambda x: mb.model.apply({"params": mb.params}, x)),
+            batch_buckets, max_wait_ms)
+        self._rep = BatchingServer(
+            jax.jit(lambda x: mb.model.apply({"params": mb.params}, x,
+                                             return_rep=True)),
+            batch_buckets, max_wait_ms)
+
+    @classmethod
+    def from_config(cls, config_path: str, checkpoint: Optional[str] = None,
+                    **kw) -> "MotionBERTServer":
+        from motionbert_tpu.api import MotionBERT
+
+        return cls(MotionBERT.from_config(config_path, checkpoint), **kw)
+
+    def lift(self, motion_2d: np.ndarray) -> Future:
+        """(T<=maxlen, 17, 3) normalized 2D+conf -> Future[(T, 17, 3)]."""
+        return self._lift.submit(motion_2d)
+
+    def get_representation(self, motion_2d: np.ndarray) -> Future:
+        """(T<=maxlen, 17, 3) -> Future[(T, 17, dim_rep)]."""
+        return self._rep.submit(motion_2d)
+
+    @property
+    def stats(self):
+        return {"lift": self._lift.stats, "rep": self._rep.stats}
+
+    def shutdown(self):
+        self._lift.shutdown()
+        self._rep.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()

@@ -1,0 +1,121 @@
+"""Async batching server: correctness under concurrency, bucketing,
+exception propagation, clean shutdown."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from motionbert_tpu.serve import BatchingServer
+
+
+def _echo_fn(batch):
+    # deterministic per-row transform so results are checkable
+    return batch * 2.0 + 1.0
+
+
+def test_results_match_direct_calls():
+    rs = np.random.RandomState(0)
+    clips = [rs.randn(9, 17, 3).astype(np.float32) for _ in range(40)]
+    with BatchingServer(_echo_fn, batch_buckets=(1, 8), max_wait_ms=20) as s:
+        futs = [s.submit(c) for c in clips]
+        for c, f in zip(clips, futs):
+            np.testing.assert_allclose(f.result(timeout=10),
+                                       _echo_fn(c[None])[0])
+
+
+def test_concurrent_submitters_are_batched():
+    rs = np.random.RandomState(1)
+    n_threads, per_thread = 8, 6
+    results = {}
+
+    with BatchingServer(_echo_fn, batch_buckets=(1, 8, 32),
+                        max_wait_ms=50) as s:
+        def client(tid):
+            for i in range(per_thread):
+                c = rs.randn(9, 17, 3).astype(np.float32)
+                results[(tid, i)] = (c, s.submit(c))
+
+        threads = [threading.Thread(target=client, args=(t,))
+                   for t in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for c, fut in results.values():
+            np.testing.assert_allclose(fut.result(timeout=10),
+                                       _echo_fn(c[None])[0])
+        # with 48 concurrent same-length submits and a 50ms window, the
+        # collector must have packed real batches
+        assert s.stats.requests == n_threads * per_thread
+        assert s.stats.avg_batch_size > 1.5
+
+
+def test_mixed_lengths_grouped_by_length():
+    """Different clip lengths never share a device batch (padding the time
+    axis would contaminate temporal attention)."""
+    seen = []
+
+    def fn(batch):
+        seen.append(batch.shape)
+        return batch
+
+    clips = [np.full((9, 2, 2), 1.0, np.float32),
+             np.full((27, 2, 2), 2.0, np.float32)] * 5
+    with BatchingServer(fn, batch_buckets=(1, 8, 16), max_wait_ms=50) as s:
+        futs = [s.submit(c) for c in clips]
+        for c, f in zip(clips, futs):
+            np.testing.assert_array_equal(f.result(timeout=10), c)
+    assert all(shape[1] in (9, 27) for shape in seen)
+
+
+def test_bucket_padding_counts():
+    with BatchingServer(_echo_fn, batch_buckets=(4,), max_wait_ms=30) as s:
+        futs = [s.submit(np.zeros((5, 3), np.float32)) for _ in range(3)]
+        [f.result(timeout=10) for f in futs]
+    # 3 requests padded up to the only bucket (4)
+    assert s.stats.batches >= 1
+    assert s.stats.padded_rows >= 1
+
+
+def test_exception_propagates_to_all_callers():
+    def boom(batch):
+        raise ValueError("device on fire")
+
+    with BatchingServer(boom, batch_buckets=(1, 8), max_wait_ms=20) as s:
+        futs = [s.submit(np.zeros((5, 3), np.float32)) for _ in range(4)]
+        for f in futs:
+            with pytest.raises(ValueError, match="device on fire"):
+                f.result(timeout=10)
+
+
+def test_shutdown_rejects_new_work_and_drains():
+    s = BatchingServer(_echo_fn, batch_buckets=(1, 8), max_wait_ms=5)
+    fut = s.submit(np.ones((5, 3), np.float32))
+    s.shutdown()
+    np.testing.assert_allclose(fut.result(timeout=10), 3.0)
+    with pytest.raises(RuntimeError):
+        s.submit(np.ones((5, 3), np.float32))
+
+
+def test_jitted_model_through_server():
+    """End-to-end with a real jitted DSTformer at test dims."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionbert_tpu.models.dstformer import DSTformer
+
+    model = DSTformer(dim_in=3, dim_out=3, dim_feat=32, dim_rep=32, depth=1,
+                      num_heads=2, mlp_ratio=2, num_joints=17, maxlen=27)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 9, 17, 3)))["params"]
+    fn = jax.jit(lambda x: model.apply({"params": params}, x))
+    rs = np.random.RandomState(2)
+    clips = [rs.randn(9, 17, 3).astype(np.float32) for _ in range(6)]
+    direct = np.asarray(fn(np.stack(clips)))
+    with BatchingServer(fn, batch_buckets=(1, 8), max_wait_ms=30) as s:
+        futs = [s.submit(c) for c in clips]
+        for i, f in enumerate(futs):
+            np.testing.assert_allclose(f.result(timeout=30), direct[i],
+                                       rtol=2e-5, atol=2e-5)
