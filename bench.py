@@ -108,6 +108,103 @@ def bench_training(iters=4):
     return batch / sec
 
 
+def bench_action_training(iters=2):
+    """Action train step at the NTU60 x-sub config (batch 32, 2-person
+    243-frame clips, remat=True — the action trainer defaults; effective
+    backbone batch is 64 clips)."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionbert_tpu.core.config import get_config
+    from motionbert_tpu.train.action import (
+        build_action_model, make_action_train_step, make_two_group_adamw)
+    from motionbert_tpu.train.state import TrainState
+
+    args = get_config("configs/action/MB_train_NTU60_xsub.yaml")
+    args["attn_impl"] = "pallas"
+    model = build_action_model(args)
+    B = args.batch_size
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 2, args.clip_len, 17, 3)))
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    state = TrainState.create(
+        model.apply, variables["params"],
+        make_two_group_adamw(args.lr_backbone, args.lr_head,
+                             args.weight_decay), extra_vars=extra)
+    step = make_action_train_step(model)
+    rs = np.random.RandomState(0)
+    inp = jnp.asarray(rs.uniform(-1, 1, (B, 2, args.clip_len, 17, 3)),
+                      jnp.float32)
+    gt = jnp.asarray(rs.randint(0, args.action_classes, B))
+
+    def one(carry):
+        st, r = carry
+        r, sub = jax.random.split(r)
+        st, _ = step(st, inp, gt, sub)
+        return (st, r)
+
+    sec = _chain(one, (state, jax.random.PRNGKey(1)), iters)
+    return B / sec
+
+
+def bench_mesh_training(iters=2):
+    """Mesh train step at the pw3d config (batch 32, 16-frame clips,
+    rot6d head + on-device SMPL LBS). The SMPL tensors are random at the
+    REAL topology (6890 vertices, 24 joints) — the committed synthetic
+    model is 128-vertex, which would understate the LBS cost ~50x."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionbert_tpu.core.config import get_config
+    from motionbert_tpu.models.smpl import SMPL_PARENTS, SMPLModel
+    from motionbert_tpu.train.action import make_two_group_adamw
+    from motionbert_tpu.train.mesh import (
+        build_mesh_model, make_mesh_train_step)
+    from motionbert_tpu.train.state import TrainState
+
+    args = get_config("configs/mesh/MB_train_pw3d.yaml")
+    args["attn_impl"] = "pallas"
+    rs = np.random.RandomState(0)
+    V = 6890
+    w = rs.uniform(0, 1, (V, 24)).astype(np.float32) ** 4
+    smpl = SMPLModel(
+        v_template=rs.randn(V, 3).astype(np.float32) * 0.3,
+        shapedirs=rs.randn(V, 3, 10).astype(np.float32) * 0.01,
+        posedirs=rs.randn(V, 3, 207).astype(np.float32) * 0.01,
+        J_regressor=(np.eye(24, V) + 0.001).astype(np.float32),
+        lbs_weights=w / w.sum(-1, keepdims=True),
+        parents=SMPL_PARENTS,
+        J_regressor_h36m=(np.eye(17, V) + 0.001).astype(np.float32),
+        mean_pose=np.tile(np.asarray([1, 0, 0, 0, 1, 0], np.float32), 24),
+        mean_shape=np.zeros(10, np.float32))
+    model = build_mesh_model(args, smpl)
+    B, T = 32, args.clip_len
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, T, 17, 3)))
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    state = TrainState.create(
+        model.apply, variables["params"],
+        make_two_group_adamw(args.lr_backbone, args.lr_head,
+                             args.weight_decay), extra_vars=extra)
+    lambdas = {k: args.get(k, 0.0) for k in
+               ("lambda_3d", "lambda_scale", "lambda_3dv", "lambda_lv",
+                "lambda_lg", "lambda_a", "lambda_av", "lambda_pose",
+                "lambda_shape", "lambda_norm")}
+    step = make_mesh_train_step(model, lambdas, args.get("loss_type", "L1"))
+    inp = jnp.asarray(rs.uniform(-1, 1, (B, T, 17, 3)), jnp.float32)
+    gt = {"theta": jnp.asarray(rs.randn(B, T, 82) * 0.2, jnp.float32),
+          "kp_3d": jnp.asarray(rs.randn(B, T, 17, 3) * 100, jnp.float32),
+          "verts": jnp.asarray(rs.randn(B, T, V, 3) * 100, jnp.float32)}
+
+    def one(carry):
+        st, r = carry
+        r, sub = jax.random.split(r)
+        st, _ = step(st, inp, gt, sub)
+        return (st, r)
+
+    sec = _chain(one, (state, jax.random.PRNGKey(1)), iters)
+    return B / sec
+
+
 def main():
     from motionbert_tpu.core.cache import enable_compilation_cache
 
@@ -133,6 +230,16 @@ def main():
     latency_ms = 1000.0 / infer[1] if 1 in infer else None
     train_cps = bench_training()
 
+    # --all-tasks: also measure the action and mesh train steps at their
+    # shipped configs (not in the default run to keep the driver's bench
+    # window bounded; numbers recorded in PARITY.md)
+    extra_tasks = {}
+    if "--all-tasks" in sys.argv:
+        extra_tasks["action_train_clips_per_sec"] = round(
+            bench_action_training(), 2)
+        extra_tasks["mesh_train_clips_per_sec"] = round(
+            bench_mesh_training(), 2)
+
     tflops = best * FWD_GFLOP_PER_CLIP / 1000.0
     print(json.dumps({
         "metric": "243-frame clips/sec/chip (pose3d lift)",
@@ -144,6 +251,7 @@ def main():
             "per_batch_clips_per_sec": {str(k): round(v, 2)
                                         for k, v in infer.items()},
             "train_clips_per_sec": round(train_cps, 2),
+            **extra_tasks,
             "serving_latency_ms_batch1": (round(latency_ms, 1)
                                           if latency_ms else None),
             "dtype": "bfloat16",

@@ -31,8 +31,11 @@ class MotionBERT:
 
         import jax
 
+        import jax.numpy as jnp
+
         self._rep = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x, return_rep=True))
+            lambda p, x: self.model.apply(
+                {"params": p}, x, return_rep=True).astype(jnp.float32))
 
     @classmethod
     def from_config(cls, config_path: str,

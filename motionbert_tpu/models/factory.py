@@ -30,6 +30,21 @@ def default_attn_impl() -> str:
     return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 
 
+def default_compute_dtype():
+    """bfloat16 on TPU, float32 elsewhere.
+
+    TPU fp32 matmuls already run at reduced MXU precision by default
+    (~1e-3 output delta, docs/design.md), so bf16 compute — with fp32
+    params, fp32 optimizer state, and fp32 softmax/LayerNorm accumulation
+    inside the kernels — gives up no meaningful precision class while
+    doubling MXU throughput. Override per run with the `bf16` config key
+    (bf16: false forces fp32 compute on TPU)."""
+    import jax
+
+    return jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") \
+        else jnp.float32
+
+
 def register_backbone(name: str):
     def deco(fn):
         _BACKBONES[name] = fn
@@ -54,14 +69,23 @@ def _dstformer(args, **overrides):
     return DSTformer(**kw)
 
 
-def load_backbone(args, compute_dtype=jnp.float32, attn_impl: str = "xla",
+def load_backbone(args, compute_dtype=None, attn_impl: str = "xla",
                   **overrides):
-    """Build the backbone module named by args.backbone (default DSTformer)."""
+    """Build the backbone module named by args.backbone (default DSTformer).
+
+    compute_dtype=None resolves from the `bf16` config key when present,
+    else default_compute_dtype() (bf16 on TPU, f32 elsewhere). Params are
+    always fp32 regardless; this only sets the matmul/activation dtype."""
     name = args.get("backbone", "DSTformer") if hasattr(args, "get") else \
         getattr(args, "backbone", "DSTformer")
     if name not in _BACKBONES:
         raise ValueError(f"Undefined backbone type: {name!r}; "
                          f"registered: {sorted(_BACKBONES)}")
+    if compute_dtype is None:
+        bf16 = args.get("bf16", None) if hasattr(args, "get") else \
+            getattr(args, "bf16", None)
+        compute_dtype = default_compute_dtype() if bf16 is None else \
+            (jnp.bfloat16 if bf16 else jnp.float32)
     overrides.setdefault("dtype", compute_dtype)
     overrides.setdefault("attn_impl", attn_impl)
     return _BACKBONES[name](args, **overrides)

@@ -183,14 +183,16 @@ class MotionBERTServer:
     def __init__(self, mb, batch_buckets: Sequence[int] = (1, 8, 32, 128),
                  max_wait_ms: float = 5.0):
         import jax
+        import jax.numpy as jnp
 
         self.mb = mb
+        f32 = lambda fn: lambda x: fn(x).astype(jnp.float32)
         self._lift = BatchingServer(
-            jax.jit(lambda x: mb.model.apply({"params": mb.params}, x)),
+            jax.jit(f32(lambda x: mb.model.apply({"params": mb.params}, x))),
             batch_buckets, max_wait_ms)
         self._rep = BatchingServer(
-            jax.jit(lambda x: mb.model.apply({"params": mb.params}, x,
-                                             return_rep=True)),
+            jax.jit(f32(lambda x: mb.model.apply({"params": mb.params}, x,
+                                                 return_rep=True))),
             batch_buckets, max_wait_ms)
 
     @classmethod

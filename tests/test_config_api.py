@@ -65,3 +65,25 @@ def test_motionbert_api(tmp_path):
     # F > maxlen gives a clear error
     with pytest.raises(AssertionError, match="maxlen"):
         mb.get_representation(np.zeros((1, 99, 17, 3)))
+
+
+def test_factory_compute_dtype_resolution():
+    """load_backbone resolves compute dtype: explicit `bf16` key wins, else
+    backend default (f32 on the CPU test backend); explicit compute_dtype
+    argument overrides everything (the parity-gate path)."""
+    import jax.numpy as jnp
+
+    from motionbert_tpu.core.config import ConfigDict
+    from motionbert_tpu.models.factory import (
+        default_compute_dtype, load_backbone)
+
+    base = dict(dim_feat=32, dim_rep=32, depth=1, num_heads=4, mlp_ratio=2,
+                maxlen=16, num_joints=17)
+    assert default_compute_dtype() == jnp.float32  # CPU backend in tests
+    assert load_backbone(ConfigDict(base)).dtype == jnp.float32
+    assert load_backbone(
+        ConfigDict(dict(base, bf16=True))).dtype == jnp.bfloat16
+    assert load_backbone(
+        ConfigDict(dict(base, bf16=False))).dtype == jnp.float32
+    assert load_backbone(ConfigDict(dict(base, bf16=True)),
+                         compute_dtype=jnp.float32).dtype == jnp.float32

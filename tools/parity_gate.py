@@ -49,8 +49,13 @@ def run_gate(config, checkpoint, published, tol):
     else:
         params = load_checkpoint(checkpoint)["params"]
 
-    model = load_backbone(args, attn_impl=args.get("attn_impl",
-                                                   default_attn_impl()))
+    import jax.numpy as jnp
+
+    # the <=1mm gate is a PRECISION check: force fp32 compute (the factory
+    # defaults to bf16 on TPU for training/serving throughput)
+    model = load_backbone(args, compute_dtype=jnp.float32,
+                          attn_impl=args.get("attn_impl",
+                                             default_attn_impl()))
     test_dataset = MotionDataset3D(args, args.subset_list, "test")
     test_loader = BatchLoader(test_dataset, args.batch_size, shuffle=False)
     datareader = DataReaderH36M(
