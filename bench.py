@@ -67,6 +67,27 @@ def bench_inference(model, variables, batches=(1, 128, 256, 512), iters=8):
     return results
 
 
+def bench_latency_batch1(model, variables, n=20):
+    """True single-request serving latency: ONE jitted batch-1 dispatch
+    closed with a host fetch, best-of-n. Unlike the chained-throughput
+    windows, this deliberately INCLUDES the per-dispatch RPC overhead
+    (ms-scale through the axon tunnel) — that is what a real single-clip
+    serving request pays."""
+    import jax
+    import jax.numpy as jnp
+
+    fwd = jax.jit(lambda x: model.apply(variables, x))
+    x = jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (1, 243, 17, 3)),
+                    jnp.bfloat16)
+    jax.block_until_ready(fwd(x))  # compile + warm
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd(x))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1000.0
+
+
 def bench_training(iters=4):
     """Flagship train step (fwd+bwd+AdamW) at the shipped batch size,
     chained inside one jit. remat=False is the pose3d trainer's default —
@@ -227,7 +248,7 @@ def main():
 
     infer = bench_inference(model, variables)
     best_batch, best = max(infer.items(), key=lambda kv: kv[1])
-    latency_ms = 1000.0 / infer[1] if 1 in infer else None
+    latency_ms = bench_latency_batch1(model, variables)
     train_cps = bench_training()
 
     # --all-tasks: also measure the action and mesh train steps at their

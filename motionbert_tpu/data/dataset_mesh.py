@@ -81,10 +81,13 @@ class MotionSMPL(SMPLDataset):
             motion_2d = flip_data(motion_2d)
             pose = flip_thetas_np(pose)
 
+        # f32 LBS like the batch path (and the reference's torch SMPL,
+        # dataset_mesh.py:79-90); f32-vs-f64 delta is ~1e-3 mm
         out = smpl_forward_np(self.smpl, shape.astype(np.float32),
-                              pose.reshape(-1, 72).astype(np.float32))
+                              pose.reshape(-1, 72).astype(np.float32),
+                              dtype=np.float32)
         verts = out["vertices"] * 1000.0  # mm
-        kp = np.einsum("jv,bvc->bjc", self.smpl.J_regressor_h36m, verts)
+        kp = self.smpl.J_regressor_h36m @ verts  # (17,V)@(b,V,3)->(b,17,3)
         verts = verts - kp[:, :1, :]
         kp = kp - kp[:, :1, :]
         theta = np.concatenate(
@@ -99,8 +102,8 @@ class MotionSMPL(SMPLDataset):
         the device at production batch sizes (GIL-bound ~140 clips/s vs
         ~790 consumed, tools/bench_loader.py); the batched LBS runs in
         large BLAS ops that release the GIL. BatchLoader auto-detects this
-        method. Matches __getitem__'s outputs exactly (same rng stream for
-        the flip augmentation, drawn in index order)."""
+        method. Matches __getitem__'s outputs exactly (same f32 LBS, same
+        rng stream for the flip augmentation, drawn in index order)."""
         indices = np.asarray(indices)
         motion_2d = self.motion_2d[indices].copy()       # (B, T, 17, 3)
         motion_2d[..., 2] = np.clip(motion_2d[..., 2], 0, 1)
@@ -120,7 +123,7 @@ class MotionSMPL(SMPLDataset):
                               pose.reshape(B * T, 72).astype(np.float32),
                               dtype=np.float32)
         verts = out["vertices"] * 1000.0  # mm
-        kp = np.einsum("jv,bvc->bjc", self.smpl.J_regressor_h36m, verts)
+        kp = self.smpl.J_regressor_h36m @ verts  # GEMM, not loop-einsum
         verts = verts - kp[:, :1, :]
         kp = kp - kp[:, :1, :]
         theta = np.concatenate(

@@ -14,13 +14,29 @@ from __future__ import annotations
 import numpy as np
 
 
+def stack_padded(clips, size: int) -> np.ndarray:
+    """Stack same-shape (T, ...) clips into a (size, T, ...) batch, padding
+    short groups by repeating the last clip (padding rows are dropped by
+    unstack_result on the way out)."""
+    batch = np.stack(clips)
+    if len(clips) < size:
+        batch = np.concatenate(
+            [batch, np.repeat(batch[-1:], size - len(clips), 0)])
+    return batch
+
+
+def unstack_result(res, k: int):
+    """Extract batch element k from fn's output pytree as writable numpy."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda a: np.array(a[k]), res)
+
+
 def run_batched(clips, batch_size: int, fn):
     """Apply fn((B, T, ...)) -> pytree with leading batch dim over a list of
     (T_i, ...) clips; returns the per-clip results in input order (numpy,
     writable). Clips are grouped by length; undersized groups are padded to
     the group's batch size so each length compiles exactly once."""
-    import jax
-
     clips = list(clips)
     by_len: dict = {}
     for i, c in enumerate(clips):
@@ -30,12 +46,7 @@ def run_batched(clips, batch_size: int, fn):
         bs = min(batch_size, len(idxs))
         for s in range(0, len(idxs), bs):
             grp = idxs[s:s + bs]
-            batch = np.stack([clips[j] for j in grp])
-            if len(grp) < bs:  # pad: one compiled shape per clip length
-                batch = np.concatenate(
-                    [batch, np.repeat(batch[-1:], bs - len(grp), 0)])
-            res = fn(batch)
+            res = fn(stack_padded([clips[j] for j in grp], bs))
             for k, j in enumerate(grp):
-                out[j] = jax.tree_util.tree_map(
-                    lambda a, kk=k: np.array(a[kk]), res)
+                out[j] = unstack_result(res, k)
     return out

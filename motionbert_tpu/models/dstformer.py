@@ -565,6 +565,14 @@ class DSTformer(nn.Module):
     def get_representation(self, x, deterministic: bool = True):
         return self(x, return_rep=True, deterministic=deterministic)
 
+    @nn.nowrap
+    def reset_classifier(self, dim_out: int) -> "DSTformer":
+        """Return a copy with a new output head size (params must be
+        re-initialized/merged by the caller; reference DSTformer.py:325-327).
+        nowrap: a plain constructor helper, not a module method — it must
+        stay callable on an unbound module outside init/apply."""
+        return self.copy(dim_out=dim_out)
+
 
 def attention_gate_stats(model: "DSTformer", variables, x):
     """Per-sample spatial/temporal gate statistics — the functional
@@ -583,8 +591,3 @@ def attention_gate_stats(model: "DSTformer", variables, x):
 
     stacked = np.stack([np.asarray(a) for a in alphas], axis=1)  # (B, L, 2)
     return {"attn_count_s": stacked[..., 0], "attn_count_t": stacked[..., 1]}
-
-    def reset_classifier(self, dim_out: int) -> "DSTformer":
-        """Return a copy with a new output head size (params must be
-        re-initialized/merged by the caller; reference DSTformer.py:325-327)."""
-        return self.copy(dim_out=dim_out)

@@ -29,7 +29,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional, Sequence
 
 import numpy as np
@@ -37,16 +37,15 @@ import numpy as np
 
 @dataclass
 class ServerStats:
-    """Aggregate serving counters (thread-safe under the worker's lock)."""
+    """Aggregate serving counters (only the collector thread writes them)."""
     requests: int = 0
     batches: int = 0
     padded_rows: int = 0
-    batch_sizes: list = field(default_factory=list)
+    batched_requests: int = 0  # running sum of real (unpadded) batch rows
 
     @property
     def avg_batch_size(self) -> float:
-        return (sum(self.batch_sizes) / len(self.batch_sizes)
-                if self.batch_sizes else 0.0)
+        return self.batched_requests / self.batches if self.batches else 0.0
 
 
 class BatchingServer:
@@ -135,29 +134,28 @@ class BatchingServer:
 
     def _dispatch_group(self, group):
         """Run one same-length group as bucket-padded device batches."""
-        import jax
+        from motionbert_tpu.infer.batching import stack_padded, unstack_result
 
         while group:
             take = min(len(group), self._buckets[-1])
             chunk, group = group[:take], group[take:]
             bucket = self._bucket_for(len(chunk))
-            batch = np.stack([c for c, _ in chunk])
-            pad = bucket - len(chunk)
-            if pad:
-                batch = np.concatenate(
-                    [batch, np.repeat(batch[-1:], pad, 0)])
+            # everything from stacking on is guarded: a bad clip (e.g. same
+            # T but mismatched trailing shape) must fail its own futures,
+            # never the collector thread
             try:
+                batch = stack_padded([c for c, _ in chunk], bucket)
                 res = self._fn(batch)
+                results = [unstack_result(res, k) for k in range(len(chunk))]
             except Exception as e:  # propagate to every caller in the batch
                 for _, fut in chunk:
                     fut.set_exception(e)
                 continue
             self.stats.batches += 1
-            self.stats.padded_rows += pad
-            self.stats.batch_sizes.append(len(chunk))
-            for k, (_, fut) in enumerate(chunk):
-                fut.set_result(jax.tree_util.tree_map(
-                    lambda a, kk=k: np.asarray(a[kk]), res))
+            self.stats.padded_rows += bucket - len(chunk)
+            self.stats.batched_requests += len(chunk)
+            for (_, fut), out in zip(chunk, results):
+                fut.set_result(out)
 
     def _run(self):
         done = False
@@ -166,33 +164,52 @@ class BatchingServer:
             if not items:
                 continue
             self.stats.requests += len(items)
-            by_len: dict = {}
-            for clip, fut in items:
-                by_len.setdefault(clip.shape[0], []).append((clip, fut))
-            # largest groups first: best amortization while stragglers of
-            # other lengths keep queueing behind
-            for _, grp in sorted(by_len.items(),
-                                 key=lambda kv: -len(kv[1])):
-                self._dispatch_group(grp)
+            try:
+                by_len: dict = {}
+                for clip, fut in items:
+                    by_len.setdefault(clip.shape[0], []).append((clip, fut))
+                # largest groups first: best amortization while stragglers
+                # of other lengths keep queueing behind
+                for _, grp in sorted(by_len.items(),
+                                     key=lambda kv: -len(kv[1])):
+                    self._dispatch_group(grp)
+            except Exception as e:  # last-resort guard: the collector must
+                for _, fut in items:  # outlive any malformed request
+                    if not fut.done():
+                        fut.set_exception(e)
 
 
 class MotionBERTServer:
     """Online-serving facade over api.MotionBERT: batched flip-TTA 3D
-    lifting and representation extraction behind futures."""
+    lifting and representation extraction behind futures.
+
+    lift serves the exact same prediction as api.MotionBERT.lift at its
+    defaults — flip test-time averaging + root-relative output (reference
+    infer_wild.py:73-85) — so migrating a caller from the blocking API to
+    the server changes latency, not numerics. Both knobs are constructor
+    options."""
 
     def __init__(self, mb, batch_buckets: Sequence[int] = (1, 8, 32, 128),
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, flip_tta: bool = True,
+                 rootrel: bool = True):
         import jax
         import jax.numpy as jnp
 
+        from motionbert_tpu.train.pose3d import make_eval_step
+
         self.mb = mb
-        f32 = lambda fn: lambda x: fn(x).astype(jnp.float32)
-        self._lift = BatchingServer(
-            jax.jit(f32(lambda x: mb.model.apply({"params": mb.params}, x))),
-            batch_buckets, max_wait_ms)
+        step = make_eval_step(mb.model, no_conf=False, flip_tta=flip_tta)
+
+        def lift_fn(x):
+            pred = step(mb.params, x)  # already f32
+            return pred.at[:, :, 0, :].set(0.0) if rootrel else pred
+
+        self._lift = BatchingServer(jax.jit(lift_fn),
+                                    batch_buckets, max_wait_ms)
         self._rep = BatchingServer(
-            jax.jit(f32(lambda x: mb.model.apply({"params": mb.params}, x,
-                                                 return_rep=True))),
+            jax.jit(lambda x: mb.model.apply(
+                {"params": mb.params}, x,
+                return_rep=True).astype(jnp.float32)),
             batch_buckets, max_wait_ms)
 
     @classmethod

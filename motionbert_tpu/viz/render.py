@@ -353,20 +353,17 @@ def render_and_save(motion_input, save_path, keep_imgs=False, fps=25,
         return motion2video_mesh(motion, save_path, fps=fps, faces=faces)
     if motion.ndim == 3 and (motion.shape[-1] == 2 or with_conf):
         colors = hex2rgb(color)
-        m = np.transpose(motion, (1, 2, 0))  # (T,J,D) -> (J,D,T)
-        if m.shape[1] == 2:  # fill confidence=1
-            full = np.ones((m.shape[0], 3, m.shape[2]), np.float32)
-            full[:, :2] = m
-            m = full
-        m[:, :2] = pixel2world_vis_motion(m[:, :2])
-        tgt = None
-        if motion_tgt is not None:
-            tgt = np.transpose(np.asarray(motion_tgt, np.float32), (1, 2, 0))
-            if tgt.shape[1] == 2:
-                fullt = np.ones((tgt.shape[0], 3, tgt.shape[2]), np.float32)
-                fullt[:, :2] = tgt
-                tgt = fullt
-            tgt[:, :2] = pixel2world_vis_motion(tgt[:, :2])
+
+        def to_jdt(arr):  # (T,J,D) -> fresh (J,3,T); never a caller view
+            a = np.transpose(arr, (1, 2, 0))
+            full = np.ones((a.shape[0], 3, a.shape[2]), np.float32)
+            full[:, :a.shape[1]] = a[:, :3]
+            full[:, :2] = pixel2world_vis_motion(full[:, :2])
+            return full
+
+        m = to_jdt(motion)
+        tgt = None if motion_tgt is None else \
+            to_jdt(np.asarray(motion_tgt, np.float32))
         return motion2video(m, save_path, colors, fps=fps, motion_tgt=tgt)
     if motion.ndim == 3 and motion.shape[-1] == 3:
         return motion2video_3d(motion, save_path, fps=fps,

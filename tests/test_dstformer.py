@@ -125,3 +125,17 @@ def test_attention_gate_stats():
         stats["attn_count_s"] + stats["attn_count_t"], 1.0, atol=1e-5)
     # zero-weight gate init -> exactly balanced streams
     np.testing.assert_allclose(stats["attn_count_s"], 0.5, atol=1e-6)
+
+
+def test_reset_classifier():
+    """reset_classifier returns a copy with a new head size and stays
+    callable on an unbound module (reference DSTformer.py:325-327)."""
+    from motionbert_tpu.models.dstformer import DSTformer
+
+    m = DSTformer(dim_feat=32, dim_rep=32, depth=1, num_heads=2, mlp_ratio=2,
+                  num_joints=17, maxlen=8)
+    m2 = m.reset_classifier(dim_out=60)
+    assert m2.dim_out == 60
+    p = m2.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 17, 3)))["params"]
+    assert m2.apply({"params": p},
+                    jnp.zeros((2, 8, 17, 3))).shape == (2, 8, 17, 60)

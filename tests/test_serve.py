@@ -119,3 +119,50 @@ def test_jitted_model_through_server():
         for i, f in enumerate(futs):
             np.testing.assert_allclose(f.result(timeout=30), direct[i],
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_malformed_clip_fails_only_its_future():
+    """A clip with the right length but wrong trailing shape must fail its
+    own future and leave the collector thread alive for later requests."""
+    with BatchingServer(_echo_fn, batch_buckets=(1, 8), max_wait_ms=10) as s:
+        good = np.ones((5, 3), np.float32)
+        bad = np.ones((5, 4), np.float32)  # same T, mismatched shape
+        f_good, f_bad = s.submit(good), s.submit(bad)
+        # one of the two groups stacks fine; the mixed stack (if they land
+        # in the same collection window) fails both with ValueError
+        results = []
+        for f in (f_good, f_bad):
+            try:
+                results.append(f.result(timeout=10))
+            except ValueError:
+                results.append(None)
+        # server still serves after the failure
+        f2 = s.submit(good)
+        np.testing.assert_allclose(f2.result(timeout=10), 3.0)
+
+
+def test_motionbert_server_lift_matches_api_lift():
+    """MotionBERTServer.lift serves exactly api.MotionBERT.lift's defaults
+    (flip-TTA + root-relative), so migrating to the server changes latency,
+    not numerics."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionbert_tpu.api import MotionBERT
+    from motionbert_tpu.models.dstformer import DSTformer
+    from motionbert_tpu.serve import MotionBERTServer
+
+    model = DSTformer(dim_in=3, dim_out=3, dim_feat=32, dim_rep=32, depth=1,
+                      num_heads=2, mlp_ratio=2, num_joints=17, maxlen=27)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 9, 17, 3)))["params"]
+    mb = MotionBERT(model, params, maxlen=27)
+    rs = np.random.RandomState(3)
+    clips = [rs.randn(9, 17, 3).astype(np.float32) for _ in range(4)]
+    direct = mb.lift(np.stack(clips))
+    with MotionBERTServer(mb, batch_buckets=(1, 8), max_wait_ms=30) as srv:
+        futs = [srv.lift(c) for c in clips]
+        for i, f in enumerate(futs):
+            out = f.result(timeout=60)
+            np.testing.assert_allclose(out, direct[i], rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(out[:, 0, :], 0.0)  # root-relative

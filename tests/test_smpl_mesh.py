@@ -211,5 +211,7 @@ def test_motion_smpl_get_batch_matches_getitem():
     for i in idx:
         np.testing.assert_allclose(bx[i], per_item[i][0], atol=1e-6)
         for k in ("theta", "kp_3d", "verts"):
+            # both paths run the same f32 LBS; only the batched-vs-per-clip
+            # BLAS reduction order differs
             np.testing.assert_allclose(bgt[k][i], per_item[i][1][k],
-                                       atol=2e-2)  # f32 vs f64 LBS, mm scale
+                                       atol=1e-4)
