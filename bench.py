@@ -52,7 +52,12 @@ def _chain(fn, x0, iters):
     return best
 
 
-def bench_inference(model, variables, batches=(1, 128, 256, 512), iters=8):
+def bench_inference(model, variables, batches=(128, 512), iters=None):
+    """Per-batch-size chained throughput. iters scales inversely with
+    batch so each timing window stays a few seconds of device compute
+    (still >>1000x the per-dispatch RPC overhead) — the full sweep must
+    fit the driver's bounded bench window. Batch-1 latency is measured
+    separately (bench_latency_batch1)."""
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +67,7 @@ def bench_inference(model, variables, batches=(1, 128, 256, 512), iters=8):
     for batch in batches:
         x0 = jnp.asarray(rs.uniform(-1, 1, (batch, 243, 17, 3)),
                          jnp.bfloat16)
-        sec = _chain(fwd, x0, iters)
+        sec = _chain(fwd, x0, iters or max(2, 1024 // batch))
         results[batch] = batch / sec
     return results
 
@@ -238,9 +243,12 @@ def main():
 
     import sys
     sys.path.insert(0, "tools")
-    from verify_kernels import verify
+    from verify_kernels import HOT_PATH_CHECKS, verify
 
-    parity = verify(batch=2)  # real-chip fused-vs-fp32 kernel parity
+    # real-chip fused-vs-fp32 kernel parity on the kernels the model
+    # actually runs (the pair kernels contain the attention/MLP blocks);
+    # the full six-kernel sweep lives in the standalone tool
+    parity = verify(batch=2, checks=HOT_PATH_CHECKS)
 
     model = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas",
                       **FLAGSHIP_CONFIG)
