@@ -97,13 +97,13 @@ def bench_pose3d(batch_size=128):
 
 
 DEVICE_CPS_DEFAULT = {
-    # device consumption rates measured on the dev chip (BENCH artifacts):
-    # pose3d train ~52 clips/s at B=32; action trains 2-person clips through
-    # the same backbone (~26 samples/s); mesh clips are 16 frames
-    # (243/16 ~ 15x shorter -> ~790 clips/s)
-    "action": 26.0,
-    "mesh": 790.0,
-    "pose3d": 52.0,
+    # device consumption rates measured on the dev chip with the fused
+    # pair-backward path (bench.py --all-tasks): pose3d 64.9 clips/s at
+    # B=32; action 28.6 samples/s (2-person 243-frame clips, remat);
+    # mesh 307 clips/s (16-frame clips, on-device 6890-vertex LBS)
+    "action": 28.6,
+    "mesh": 307.0,
+    "pose3d": 64.9,
 }
 
 
