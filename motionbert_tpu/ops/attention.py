@@ -202,15 +202,8 @@ def _spatial_kernel(num_heads, scale, num_joints, total_tokens, bb,
     # Partial edge block: rows beyond the array are undefined. Zero v there
     # (0-weight x NaN would still be NaN in the output contraction); q/k
     # garbage is neutralized by the select below and by dropped stores.
-    start = pl.program_id(1) * TJ
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TJ, 1), 0) + start
-    row_valid = row_ids < total_tokens
-    # block-diagonal frame mask: token i attends to token m iff same frame.
-    # A select (not an additive bias) so undefined values in partial edge
-    # blocks cannot leak through as +-inf.
-    row_f = jax.lax.broadcasted_iota(jnp.int32, (TJ, TJ), 0) // num_joints
-    col_f = jax.lax.broadcasted_iota(jnp.int32, (TJ, TJ), 1) // num_joints
-    same_frame = row_f == col_f
+    # block-diagonal frame mask: token i attends to token m iff same frame
+    row_valid, same_frame = _spatial_masks(TJ, num_joints, total_tokens)
     for b in range(bb):
         qb = q_ref[b]  # (TF*J, C)
         kb = k_ref[b]
@@ -364,6 +357,47 @@ def _ln_rows(x, scale, bias, eps=1e-6):
     return normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
+# Shared in-kernel helpers: ONE copy of the LN forward/backward math and
+# the spatial block-diagonal mask, used by every fused kernel here and in
+# fused_mlp/fused_pair — the eps and mask conventions are parity surfaces
+# and must not drift between kernels.
+
+def _ln_fwd_stats(xb, s_ref, b_ref, eps=1e-6):
+    """LN forward returning (xhat, rstd, h_f32) for reuse in backward."""
+    xf = xb.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    h = xhat * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    return xhat, rstd, h
+
+
+def _ln_bwd_rows(dh, xhat, rstd, s_ref, dls_ref, dlb_ref):
+    """LN backward; accumulates scale/bias grads, returns dx rows (f32)."""
+    dls_ref[0] += jnp.sum(dh * xhat, axis=0)
+    dlb_ref[0] += jnp.sum(dh, axis=0)
+    dy = dh * s_ref[0].astype(jnp.float32)
+    m1 = jnp.mean(dy, axis=-1, keepdims=True)
+    m2 = jnp.mean(dy * xhat, axis=-1, keepdims=True)
+    return rstd * (dy - m1 - xhat * m2)
+
+
+def _spatial_masks(N, num_joints, total_tokens):
+    """(row_valid (N,1), same_frame (N,N)) for a grouped-spatial tile at
+    grid position program_id(1). same_frame is a select mask (never an
+    additive bias) so undefined values in partial edge blocks cannot leak
+    through as +-inf."""
+    from jax.experimental import pallas as pl
+
+    start = pl.program_id(1) * N
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) + start
+    row_valid = row_ids < total_tokens
+    row_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // num_joints
+    col_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // num_joints
+    return row_valid, row_f == col_f
+
+
 def _fused_block_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
                         use_ln, residual, x_ref, ln_s_ref, ln_b_ref,
                         wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref):
@@ -373,12 +407,7 @@ def _fused_block_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
     same_mask = None
     row_valid = None
     if mode == "spatial":
-        start = pl.program_id(1) * N
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) + start
-        row_valid = row_ids < total_tokens
-        row_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // num_joints
-        col_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // num_joints
-        same_mask = row_f == col_f
+        row_valid, same_mask = _spatial_masks(N, num_joints, total_tokens)
     for b in range(bb):
         xb = x_ref[b]  # (N, C)
         if row_valid is not None:
@@ -477,12 +506,7 @@ def _fused_block_bwd_kernel(num_heads, scale, bb, num_joints, total_tokens,
     same_mask = None
     row_valid = None
     if mode == "spatial":
-        start = pl.program_id(1) * N
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) + start
-        row_valid = row_ids < total_tokens
-        row_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // num_joints
-        col_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // num_joints
-        same_mask = row_f == col_f
+        row_valid, same_mask = _spatial_masks(N, num_joints, total_tokens)
 
     for b in range(bb):
         if row_valid is not None:
@@ -495,13 +519,7 @@ def _fused_block_bwd_kernel(num_heads, scale, bb, num_joints, total_tokens,
 
         # ---- forward recompute (VMEM) ----
         if use_ln:
-            xf = xb.astype(jnp.float32)
-            mu = jnp.mean(xf, axis=-1, keepdims=True)
-            var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-            rstd = jax.lax.rsqrt(var + eps)
-            xhat = (xf - mu) * rstd
-            hf = xhat * ln_s_ref[0].astype(jnp.float32) \
-                + ln_b_ref[0].astype(jnp.float32)
+            xhat, rstd, hf = _ln_fwd_stats(xb, ln_s_ref, ln_b_ref, eps)
             hb = hf.astype(dtype)
         else:
             hb = xb
@@ -564,12 +582,7 @@ def _fused_block_bwd_kernel(num_heads, scale, bb, num_joints, total_tokens,
 
         # ---- LayerNorm backward + residual ----
         if use_ln:
-            dls_ref[0] += jnp.sum(dh * xhat, axis=0)
-            dlb_ref[0] += jnp.sum(dh, axis=0)
-            dy = dh * ln_s_ref[0].astype(jnp.float32)
-            m1 = jnp.mean(dy, axis=-1, keepdims=True)
-            m2 = jnp.mean(dy * xhat, axis=-1, keepdims=True)
-            dx = rstd * (dy - m1 - xhat * m2)
+            dx = _ln_bwd_rows(dh, xhat, rstd, ln_s_ref, dls_ref, dlb_ref)
         else:
             dx = dh
         if residual:
@@ -635,14 +648,15 @@ def _fused_block_bwd_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
             dls[0].astype(ln_scale.dtype) if use_ln else zero_ln[0],
             dlb[0].astype(ln_bias.dtype) if use_ln else zero_ln[1],
             dwqkv.astype(wqkv.dtype), dbqkv[0].astype(bqkv.dtype),
-            dwproj.astype(wproj.dtype), dbproj[0].astype(wproj.dtype))
+            dwproj.astype(wproj.dtype), dbproj[0])  # f32; caller casts
 
 
 def _fused_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                      num_heads, scale, mode, use_ln, residual):
-    """Reference composition (also the backward path). Spatial uses the
-    grouped block-diagonal layout so backward score tensors stay ~1.9x
-    padded instead of 10.6x (HBM-critical at training batch sizes)."""
+    """Reference composition: the numerical anchor for kernel parity tests
+    and the C%128!=0 fallback (the live backward is the fused Pallas
+    kernel). Spatial uses the grouped block-diagonal layout so score
+    tensors stay ~1.9x padded instead of 10.6x."""
     C = x.shape[-1]
     h = layer_norm(x, ln_scale, ln_bias) if use_ln else x
     qkv = h @ wqkv.astype(x.dtype) + bqkv.astype(x.dtype)
@@ -662,8 +676,9 @@ def fused_attention_block(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     """[LayerNorm ->] qkv projection -> single-axis attention -> output
     projection [-> +x residual], fused in one kernel per axis group.
 
-    x: (B, F, J, C); wqkv: (C, 3C); wproj: (C, C). Backward recomputes via
-    the XLA composition (activations never stored).
+    x: (B, F, J, C); wqkv: (C, 3C); wproj: (C, C). Backward is the fused
+    Pallas kernel _fused_block_bwd_pallas (recompute-in-VMEM, no stored
+    activations); _fused_block_xla is the numerical reference only.
     """
     return _fused_block_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                bproj, num_heads, scale, mode, use_ln,
@@ -683,7 +698,9 @@ def _fused_block_bwd(num_heads, scale, mode, use_ln, residual, res, g):
     dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = _fused_block_bwd_pallas(
         x, ln_scale, ln_bias, wqkv, bqkv, wproj, num_heads, scale, mode,
         use_ln, residual, g)
-    return dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj
+    # the cotangent dtype must match the primal's own dtype (bproj may
+    # legitimately differ from wproj, e.g. fp32 bias with bf16 weight)
+    return dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj.astype(bproj.dtype)
 
 
 fused_attention_block.defvjp(_fused_block_fwd, _fused_block_bwd)

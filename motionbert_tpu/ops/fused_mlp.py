@@ -3,8 +3,9 @@
 
 The MLP is token-wise, so the kernel grids over flat token tiles; the
 (C, hidden) / (hidden, C) weights ride constant-index blocks and stay
-VMEM-resident across the grid. Backward recomputes through the XLA
-composition (custom VJP), like ops.attention.fused_attention_block.
+VMEM-resident across the grid. Backward is the fused Pallas kernel
+_fused_mlp_bwd_pallas (custom VJP, recompute-in-VMEM); _fused_mlp_xla is
+the numerical reference only.
 """
 
 from __future__ import annotations
@@ -15,12 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from motionbert_tpu.ops.attention import _ln_rows, _on_tpu, layer_norm
-
-
-def _dot(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+from motionbert_tpu.ops.attention import (
+    _dot, _ln_bwd_rows, _ln_fwd_stats, _ln_rows, _on_tpu, layer_norm)
 
 
 def _erf(x):
@@ -113,13 +110,8 @@ def _fused_mlp_bwd_kernel(use_ln, residual, total_tokens,
 
     # forward recompute
     if use_ln:
-        xf = xb.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-        rstd = jax.lax.rsqrt(var + eps)
-        xhat = (xf - mu) * rstd
-        h0 = (xhat * ln_s_ref[0].astype(jnp.float32)
-              + ln_b_ref[0].astype(jnp.float32)).astype(dtype)
+        xhat, rstd, hf = _ln_fwd_stats(xb, ln_s_ref, ln_b_ref, eps)
+        h0 = hf.astype(dtype)
     else:
         h0 = xb
     z = _dot(h0, w1_ref[:]) + b1_ref[0]                  # (T, H) f32
@@ -148,12 +140,7 @@ def _fused_mlp_bwd_kernel(use_ln, residual, total_tokens,
         preferred_element_type=jnp.float32)              # (T, C)
 
     if use_ln:
-        dls_ref[0] += jnp.sum(dh * xhat, axis=0)
-        dlb_ref[0] += jnp.sum(dh, axis=0)
-        dy = dh * ln_s_ref[0].astype(jnp.float32)
-        m1 = jnp.mean(dy, axis=-1, keepdims=True)
-        m2 = jnp.mean(dy * xhat, axis=-1, keepdims=True)
-        dx = rstd * (dy - m1 - xhat * m2)
+        dx = _ln_bwd_rows(dh, xhat, rstd, ln_s_ref, dls_ref, dlb_ref)
     else:
         dx = dh
     if residual:
@@ -205,7 +192,7 @@ def _fused_mlp_bwd_pallas(x, ln_s, ln_b, w1, b1, w2, use_ln, residual, g,
             (dls[0] if use_ln else jnp.zeros_like(dls[0])).astype(ln_s.dtype),
             (dlb[0] if use_ln else jnp.zeros_like(dlb[0])).astype(ln_b.dtype),
             dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
-            dw2.astype(w2.dtype), db2[0].astype(w2.dtype))
+            dw2.astype(w2.dtype), db2[0])  # f32; caller casts
 
 
 def _fused_mlp_xla(x, ln_s, ln_b, w1, b1, w2, b2, use_ln, residual):
@@ -231,7 +218,8 @@ def _bwd(use_ln, residual, res, g):
     x, ln_s, ln_b, w1, b1, w2, b2 = res
     dx, dls, dlb, dw1, db1, dw2, db2 = _fused_mlp_bwd_pallas(
         x, ln_s, ln_b, w1, b1, w2, use_ln, residual, g)
-    return dx, dls, dlb, dw1, db1, dw2, db2
+    # b2's cotangent must match b2's own dtype, not w2's
+    return dx, dls, dlb, dw1, db1, dw2, db2.astype(b2.dtype)
 
 
 fused_mlp_block.defvjp(_fwd, _bwd)

@@ -34,19 +34,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from motionbert_tpu.ops.attention import (
-    _attn_rows, _dot, _fused_block_xla, _ln_rows, _on_tpu, _vmem_params)
+    _attn_rows, _dot, _fused_block_xla, _ln_bwd_rows, _ln_fwd_stats,
+    _ln_rows, _on_tpu, _spatial_masks, _vmem_params)
 from motionbert_tpu.ops.fused_mlp import _erf, _fused_mlp_xla
-
-
-def _spatial_masks(N, num_joints, total_tokens):
-    from jax.experimental import pallas as pl
-
-    start = pl.program_id(1) * N
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0) + start
-    row_valid = row_ids < total_tokens
-    row_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // num_joints
-    col_f = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // num_joints
-    return row_valid, row_f == col_f
 
 
 def _pair_rows(xb, num_heads, scale, same_mask, ln1_s_ref, ln1_b_ref,
@@ -124,12 +114,16 @@ def _gated_pair_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
         o_ref[b] = (other * a0 + out * a1).astype(o_ref.dtype)
 
 
-def _pick_pair_batch_block(B, N, C, hidden, itemsize,
+def _pick_pair_batch_block(B, N, C, hidden, itemsize, gated: bool = False,
                            budget: int = 20 << 20) -> int:
     """Largest divisor of B whose per-b f32 intermediates (qkv + hidden +
-    attn/y) fit the VMEM budget alongside the resident weights."""
+    attn/y) fit the VMEM budget alongside the resident weights. The gated
+    variant streams a second (N, C) input per b plus small f32 gate
+    temporaries."""
     weights = (3 * C * C + C * C + 2 * C * hidden) * itemsize
     per_b = N * (3 * C + hidden + 3 * C) * 4 + 4 * N * C * itemsize
+    if gated:
+        per_b += N * C * itemsize + 6 * N * 4
     for bb in (8, 4, 2, 1):
         if B % bb == 0 and weights + bb * per_b <= budget:
             return bb
@@ -174,6 +168,10 @@ def _pair_pallas(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
                   const(w2.shape), const((1, b2.shape[-1]))],
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+        # the picker budgets 20MB; raise Mosaic's 16MB default scoped-VMEM
+        # limit so an estimate landing in 16-28MB compiles instead of
+        # erroring (28MB budgets compile on this chip, CLAUDE.md)
+        compiler_params=_vmem_params(28 << 20),
         interpret=not _on_tpu(),
     )(x2, ln1_s.reshape(1, -1), ln1_b.reshape(1, -1), wqkv,
       bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
@@ -224,27 +222,6 @@ def _gated_pair_xla(x, other, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
 # needed. Numerics keep the two-kernel composition's rounding points
 # (y and dy round to the compute dtype at the sub-block boundary).
 # ---------------------------------------------------------------------------
-
-def _ln_fwd_stats(xb, s_ref, b_ref, eps=1e-6):
-    """LN forward returning (xhat, rstd, h_f32) for reuse in backward."""
-    xf = xb.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (xf - mu) * rstd
-    h = xhat * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
-    return xhat, rstd, h
-
-
-def _ln_bwd_rows(dh, xhat, rstd, s_ref, dls_ref, dlb_ref):
-    """LN backward; accumulates scale/bias grads, returns dx rows (f32)."""
-    dls_ref[0] += jnp.sum(dh * xhat, axis=0)
-    dlb_ref[0] += jnp.sum(dh, axis=0)
-    dy = dh * s_ref[0].astype(jnp.float32)
-    m1 = jnp.mean(dy, axis=-1, keepdims=True)
-    m2 = jnp.mean(dy * xhat, axis=-1, keepdims=True)
-    return rstd * (dy - m1 - xhat * m2)
-
 
 def _dot_t(a, b):
     """a @ b^T with f32 accumulation."""
@@ -404,13 +381,13 @@ def _pair_bwd_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
         (dx, dother, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2, dlb2,
          dw1, db1, dw2, db2, dwga, dwgb, dbg) = outs
     else:
-        ins, outs = refs[:15], refs[15:29]
-        scr = refs[29:]
+        ins, outs = refs[:14], refs[14:27]
+        scr = refs[27:]
         (x_ref, g_ref, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
-         ln2_s, ln2_b, w1, b1, w2, b2, _b2unused) = ins[:15]
+         ln2_s, ln2_b, w1, b1, w2, b2) = ins
         other_ref = None
         (dx, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2, dlb2,
-         dw1, db1, dw2, db2, _pad) = outs
+         dw1, db1, dw2, db2) = outs
         dother = dwga = dwgb = dbg = None
         wga = wgb = bg = None
     qkv_scr, dqkv_scr, attn_scr, p_scr = scr
@@ -498,10 +475,6 @@ def _pair_bwd_pallas(x, other, g, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
     if gated:
         in_specs += [const((C, 2)), const((C, 2)), const((1, 2))]
         inputs += [wg[:C], wg[C:], bg.reshape(1, -1)]
-    else:
-        # pad the input list so the kernel's fixed unpacking stays uniform
-        in_specs += [const((1, C))]
-        inputs += [b2.reshape(1, -1)]
 
     grad_outs = [
         (const((1, C)), (1, C), f32),          # dls1
@@ -527,9 +500,6 @@ def _pair_bwd_pallas(x, other, g, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
         out_shapes += [jax.ShapeDtypeStruct((C, 2), f32),
                        jax.ShapeDtypeStruct((C, 2), f32),
                        jax.ShapeDtypeStruct((1, 2), f32)]
-    else:
-        out_specs += [const((1, 2))]
-        out_shapes += [jax.ShapeDtypeStruct((1, 2), f32)]  # padding slot
 
     outs = pl.pallas_call(
         functools.partial(_pair_bwd_kernel, num_heads, scale, bb, J, total,
@@ -553,7 +523,7 @@ def _pair_bwd_pallas(x, other, g, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
          dw1, db1, dw2, db2, dwga, dwgb, dbg) = outs
     else:
         (dx, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2, dlb2,
-         dw1, db1, dw2, db2, _pad) = outs
+         dw1, db1, dw2, db2) = outs
     B4 = (B, F, J, C)
     grads = dict(
         dx=dx.reshape(B4).astype(dtype),
@@ -624,7 +594,8 @@ def fused_gated_pair_block(x, other, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
     if mode == "temporal":
         N, total = F, None
         reshape = (B, F, J * C)
-        bb = _pick_pair_batch_block(B, N, C, hidden, x.dtype.itemsize)
+        bb = _pick_pair_batch_block(B, N, C, hidden, x.dtype.itemsize,
+                                    gated=True)
         x_spec = pl.BlockSpec((bb, F, C), lambda b, t: (b, 0, t),
                               memory_space=pltpu.VMEM)
         grid = (B // bb, J)
@@ -632,7 +603,8 @@ def fused_gated_pair_block(x, other, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
         tf = 8
         N, total = tf * J, F * J
         reshape = (B, F * J, C)
-        bb = _pick_pair_batch_block(B, N, C, hidden, x.dtype.itemsize)
+        bb = _pick_pair_batch_block(B, N, C, hidden, x.dtype.itemsize,
+                                    gated=True)
         x_spec = pl.BlockSpec((bb, N, C), lambda b, t: (b, t, 0),
                               memory_space=pltpu.VMEM)
         grid = (B // bb, (F + tf - 1) // tf)
@@ -652,6 +624,7 @@ def fused_gated_pair_block(x, other, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
                   const((C, 2)), const((C, 2)), const((1, 2))],
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(reshape, x.dtype),
+        compiler_params=_vmem_params(28 << 20),
         interpret=not _on_tpu(),
     )(x.reshape(reshape), other.reshape(reshape),
       ln1_s.reshape(1, -1), ln1_b.reshape(1, -1), wqkv,

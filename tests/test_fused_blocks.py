@@ -126,10 +126,14 @@ def test_fused_gated_pair_block(mode):
 
 
 def test_full_model_fused_vs_xla_paths():
-    """Whole DSTformer: pallas (fully fused, interpreted on CPU) == xla."""
+    """Whole DSTformer: pallas (fully fused, interpreted on CPU) == xla.
+
+    dim_feat MUST be a multiple of 128: every fused gate in the model is
+    `C % 128 == 0` (dstformer.py), so a smaller width would compare the
+    XLA path with itself and cover none of the pair wiring."""
     from motionbert_tpu.models.dstformer import DSTformer
 
-    CFG = dict(dim_in=3, dim_out=3, dim_feat=64, dim_rep=64, depth=2,
+    CFG = dict(dim_in=3, dim_out=3, dim_feat=128, dim_rep=128, depth=2,
                num_heads=4, mlp_ratio=2, num_joints=17, maxlen=27)
     mx = DSTformer(attn_impl="xla", **CFG)
     mp = DSTformer(attn_impl="pallas", **CFG)
