@@ -51,6 +51,20 @@ def load_checkpoint(path: str) -> dict:
         return pickle.load(f)
 
 
+def load_any_checkpoint(path: str) -> dict:
+    """load_checkpoint with transparent torch .bin/.pth ingestion (the
+    reference evaluates/resumes released .bin files directly). Native
+    checkpoints return the full payload (epoch/opt_state/lr/...); torch
+    files yield {'params', maybe 'batch_stats'} only — torch optimizer
+    state does not map onto optax, so a torch resume reinitializes the
+    optimizer and schedule (callers treat the missing keys as defaults,
+    mirroring the reference's missing-optimizer warning, train.py:297-299).
+    """
+    if path.endswith(".bin") or path.endswith(".pth"):
+        return load_torch_checkpoint(path)
+    return load_checkpoint(path)
+
+
 def load_torch_checkpoint(path: str, model_key: str = "model_pos",
                           bn_names=("bn", "bn1", "bn2")) -> dict:
     """Read a reference torch .bin checkpoint into flax variables.

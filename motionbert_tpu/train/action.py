@@ -50,7 +50,11 @@ def make_action_train_step(model):
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_extra_vars=updates)
         top1 = (logits.argmax(-1) == batch_gt).mean() * 100.0
-        return new_state, {"loss": loss, "top1": top1, "logits": logits}
+        top5 = jnp.any(jax.lax.top_k(logits, 5)[1] == batch_gt[:, None],
+                       axis=-1).mean() * 100.0
+        # scalars only: returning the (N, classes) logits would copy an
+        # unused array out of the donated-buffer step every iteration
+        return new_state, {"loss": loss, "top1": top1, "top5": top5}
 
     return train_step
 
@@ -133,7 +137,7 @@ def train_with_config(args, opts):
 
     from motionbert_tpu.core.cache import enable_compilation_cache
     from motionbert_tpu.core.checkpoint import (
-        CheckpointManager, load_checkpoint, load_torch_checkpoint,
+        CheckpointManager, load_any_checkpoint,
         load_pretrained_params)
     from motionbert_tpu.core.logging import MetricsWriter
     from motionbert_tpu.core.metrics import AverageMeter
@@ -157,10 +161,7 @@ def train_with_config(args, opts):
     if args.get("finetune", False) and not (opts.resume or opts.evaluate):
         chk = os.path.join(opts.pretrained, opts.selection)
         print("Loading backbone", chk)
-        if chk.endswith(".bin") or chk.endswith(".pth"):
-            ckpt_params = load_torch_checkpoint(chk)["params"]
-        else:
-            ckpt_params = load_checkpoint(chk)["params"]
+        ckpt_params = load_any_checkpoint(chk)["params"]
         # tolerant, backbone-only (reference load_pretrained_weights)
         new_backbone, matched, _ = load_pretrained_params(
             params["backbone"], ckpt_params)
@@ -192,9 +193,11 @@ def train_with_config(args, opts):
     if opts.resume or opts.evaluate:
         chk = opts.evaluate or opts.resume
         print("Loading checkpoint", chk)
-        resume_payload = load_checkpoint(chk)
+        resume_payload = load_any_checkpoint(chk)
         params = resume_payload["params"]
-        extra_vars = resume_payload.get("extra_vars") or extra_vars
+        extra_vars = resume_payload.get("extra_vars") or (
+            {"batch_stats": resume_payload["batch_stats"]}
+            if "batch_stats" in resume_payload else extra_vars)
 
     mesh = make_mesh()
     params = shard_params(params, mesh)
@@ -210,10 +213,12 @@ def train_with_config(args, opts):
     if args.get("partial_train", None):
         from motionbert_tpu.train.state import freeze_except
 
-        tx = freeze_except(tx, params, args.partial_train)
+        # backbone-only: the reference leaves the task head trainable
+        tx = freeze_except(tx, params, args.partial_train,
+                           scope="backbone")
     state = TrainState.create(model.apply, params, tx, extra_vars=extra_vars)
     if resume_payload is not None:
-        st = resume_payload["epoch"]
+        st = resume_payload.get("epoch", 0)
         if resume_payload.get("opt_state") is not None:
             state = state.replace(opt_state=jax.tree_util.tree_map(
                 jnp.asarray, resume_payload["opt_state"]))
@@ -227,6 +232,7 @@ def train_with_config(args, opts):
         print(f"Training epoch {epoch}.")
         losses = AverageMeter()
         top1 = AverageMeter()
+        top5m = AverageMeter()
         for batch_input, batch_gt in train_loader:
             rng, sub = jax.random.split(rng)
             bi, bg = maybe_shard_batch(
@@ -234,11 +240,13 @@ def train_with_config(args, opts):
             state, m = train_step(state, bi, bg, sub)
             losses.update(float(m["loss"]), len(batch_input))
             top1.update(float(m["top1"]), len(batch_input))
+            top5m.update(float(m["top5"]), len(batch_input))
         test_loss, test_top1, test_top5 = validate(
             test_loader, model, state.params, state.extra_vars, mesh=mesh)
         print(f"[{epoch + 1}] loss {losses.avg:.4f} train_top1 {top1.avg:.2f} "
               f"test_top1 {test_top1:.2f} test_top5 {test_top5:.2f}")
         for tag, v in (("train_loss", losses.avg), ("train_top1", top1.avg),
+                       ("train_top5", top5m.avg),
                        ("test_loss", test_loss), ("test_top1", test_top1),
                        ("test_top5", test_top5)):
             writer.add_scalar(tag, v, epoch + 1)

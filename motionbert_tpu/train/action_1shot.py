@@ -16,8 +16,7 @@ from motionbert_tpu.losses.supcon import supcon_loss
 from motionbert_tpu.train.state import TrainState
 
 
-def make_supcon_train_step(model, n_views: int, hidden_dim: int,
-                           temperature: float):
+def make_supcon_train_step(model, hidden_dim: int, temperature: float):
     @functools.partial(jax.jit, donate_argnames=("state",))
     def train_step(state: TrainState, batch_input, batch_gt, rng):
         def loss_fn(params):
@@ -31,9 +30,12 @@ def make_supcon_train_step(model, n_views: int, hidden_dim: int,
             # MPerClassSampler guarantees n_views same-label rows per batch).
             # tests/test_supcon_step.py pins one full step against a golden.
             feat = feat.reshape(batch_input.shape[0], -1, hidden_dim)
+            # base_temperature stays at the reference's 0.07 default: the
+            # trainer passes only temperature (train_action_1shot.py:95,
+            # loss_supcon.py:15), so the loss scale is temp/0.07 * L
             return supcon_loss(feat, labels=batch_gt,
                                temperature=temperature,
-                               base_temperature=temperature)
+                               base_temperature=0.07)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = state.apply_gradients(grads)
@@ -96,7 +98,7 @@ def train_with_config(args, opts):
 
     from motionbert_tpu.core.cache import enable_compilation_cache
     from motionbert_tpu.core.checkpoint import (
-        CheckpointManager, load_checkpoint, load_torch_checkpoint,
+        CheckpointManager, load_any_checkpoint,
         load_pretrained_params)
     from motionbert_tpu.core.logging import MetricsWriter
     from motionbert_tpu.core.metrics import AverageMeter
@@ -123,10 +125,7 @@ def train_with_config(args, opts):
     if args.get("finetune", False) and not (opts.resume or opts.evaluate):
         chk = os.path.join(opts.pretrained, opts.selection)
         print("Loading backbone", chk)
-        if chk.endswith(".bin") or chk.endswith(".pth"):
-            ckpt_params = load_torch_checkpoint(chk)["params"]
-        else:
-            ckpt_params = load_checkpoint(chk)["params"]
+        ckpt_params = load_any_checkpoint(chk)["params"]
         new_backbone, matched, _ = load_pretrained_params(
             params["backbone"], ckpt_params)
         print("load_weight", len(matched))
@@ -153,7 +152,7 @@ def train_with_config(args, opts):
     if opts.resume or opts.evaluate:
         chk = opts.evaluate or opts.resume
         print("Loading checkpoint", chk)
-        resume_payload = load_checkpoint(chk)
+        resume_payload = load_any_checkpoint(chk)
         params = resume_payload["params"]
 
     # DP over the device mesh — the reference DataParallel-wraps the
@@ -181,9 +180,16 @@ def train_with_config(args, opts):
 
     tx = make_two_group_adamw(args.lr_backbone, args.lr_head,
                               args.weight_decay)
+    if args.get("partial_train", None) and args.get("finetune", False) \
+            and not opts.resume:
+        # the reference applies partial_train only on the fresh-finetune
+        # path, and to the backbone alone (train_action_1shot.py:92-93)
+        from motionbert_tpu.train.state import freeze_except
+
+        tx = freeze_except(tx, params, args.partial_train, scope="backbone")
     state = TrainState.create(model.apply, params, tx)
     if resume_payload is not None:
-        st = resume_payload["epoch"]
+        st = resume_payload.get("epoch", 0)
         if resume_payload.get("opt_state") is not None:
             state = state.replace(opt_state=jax.tree_util.tree_map(
                 jnp.asarray, resume_payload["opt_state"]))
@@ -191,9 +197,8 @@ def train_with_config(args, opts):
         if (resume_payload.get("meta") or {}).get("rng") is not None:
             rng = jnp.asarray(resume_payload["meta"]["rng"])
 
-    train_step = make_supcon_train_step(model, args.n_views,
-                                        args.get("hidden_dim", 2048),
-                                        args.get("temp", 0.1))
+    train_step = make_supcon_train_step(
+        model, args.get("hidden_dim", 2048), args.get("temp", 0.1))
     print(f"INFO: Training on {len(train_loader)} batches")
     for epoch in range(st, args.epochs):
         print(f"Training epoch {epoch}.")

@@ -99,6 +99,19 @@ def validate(test_loader, model, params, extra_vars, smpl_model, args,
 
     eval_step = make_mesh_eval_step(model, smpl_model,
                                     flip_tta=args.get("flip", False))
+    # jitted (and memoized: one compile per config across epochs) — the
+    # eager per-op path paid ms-scale dispatch RPC per op per batch on the
+    # remote-compile TPU backend
+    key = ("val_loss", id(args))
+    if key in _EVAL_CACHE:
+        val_loss = _EVAL_CACHE[key][1]
+    else:
+        @jax.jit
+        def val_loss(out, gt):
+            return mesh_total_loss(out, gt, args,
+                                   args.get("loss_type", "L1"))
+
+        _EVAL_CACHE[key] = (args, val_loss)
     losses = AverageMeter()
     terms_meters: dict = {}
     results = {"kp_3d": [], "verts": [], "kp_3d_gt": [], "verts_gt": []}
@@ -114,10 +127,9 @@ def validate(test_loader, model, params, extra_vars, smpl_model, args,
         out = eval_step(params, extra_vars, batch_input)
         out = {k: np.asarray(v)[:n] for k, v in out.items()}
         gt = {k: np.asarray(v) for k, v in batch_gt.items()}
-        total, terms = mesh_total_loss(
+        total, terms = val_loss(
             jax.tree_util.tree_map(jnp.asarray, out),
-            jax.tree_util.tree_map(jnp.asarray, gt),
-            args, args.get("loss_type", "L1"))
+            jax.tree_util.tree_map(jnp.asarray, gt))
         losses.update(float(total), n)
         for k, v in terms.items():
             terms_meters.setdefault(k, AverageMeter()).update(float(v), n)
@@ -153,7 +165,7 @@ def train_with_config(args, opts):
 
     from motionbert_tpu.core.cache import enable_compilation_cache
     from motionbert_tpu.core.checkpoint import (
-        CheckpointManager, load_checkpoint, load_torch_checkpoint,
+        CheckpointManager, load_any_checkpoint,
         load_pretrained_params)
     from motionbert_tpu.core.logging import MetricsWriter
     from motionbert_tpu.core.metrics import AverageMeter
@@ -183,10 +195,7 @@ def train_with_config(args, opts):
     if args.get("finetune", False) and not (opts.resume or opts.evaluate):
         chk = os.path.join(opts.pretrained, opts.selection)
         print("Loading backbone", chk)
-        if chk.endswith(".bin") or chk.endswith(".pth"):
-            ckpt_params = load_torch_checkpoint(chk)["params"]
-        else:
-            ckpt_params = load_checkpoint(chk)["params"]
+        ckpt_params = load_any_checkpoint(chk)["params"]
         new_backbone, matched, _ = load_pretrained_params(
             params["backbone"], ckpt_params)
         print("load_weight", len(matched))
@@ -228,9 +237,11 @@ def train_with_config(args, opts):
     if opts.resume or opts.evaluate:
         chk = opts.evaluate or opts.resume
         print("Loading checkpoint", chk)
-        resume_payload = load_checkpoint(chk)
+        resume_payload = load_any_checkpoint(chk)
         params = resume_payload["params"]
-        extra_vars = resume_payload.get("extra_vars") or extra_vars
+        extra_vars = resume_payload.get("extra_vars") or (
+            {"batch_stats": resume_payload["batch_stats"]}
+            if "batch_stats" in resume_payload else extra_vars)
 
     mesh = make_mesh()
     params = shard_params(params, mesh)
@@ -250,10 +261,12 @@ def train_with_config(args, opts):
     if args.get("partial_train", None):
         from motionbert_tpu.train.state import freeze_except
 
-        tx = freeze_except(tx, params, args.partial_train)
+        # backbone-only: the reference leaves the task head trainable
+        tx = freeze_except(tx, params, args.partial_train,
+                           scope="backbone")
     state = TrainState.create(model.apply, params, tx, extra_vars=extra_vars)
     if resume_payload is not None:
-        st = resume_payload["epoch"]
+        st = resume_payload.get("epoch", 0)
         if resume_payload.get("opt_state") is not None:
             state = state.replace(opt_state=jax.tree_util.tree_map(
                 jnp.asarray, resume_payload["opt_state"]))

@@ -148,7 +148,7 @@ def evaluate(args, model, params, test_loader, datareader,
     import numpy as np
 
     from motionbert_tpu.geometry.procrustes import mpjpe, p_mpjpe
-    from motionbert_tpu.parallel import shard_batch
+    from motionbert_tpu.parallel import maybe_shard_batch
 
     eval_step = make_eval_step(model, no_conf=args.get("no_conf", False),
                                flip_tta=args.get("flip", False))
@@ -161,8 +161,9 @@ def evaluate(args, model, params, test_loader, datareader,
             batch_input = np.concatenate(
                 [batch_input, np.repeat(batch_input[-1:], full_bs - n, 0)])
         batch_input = jnp.asarray(batch_input)
-        if mesh is not None:
-            batch_input = shard_batch(batch_input, mesh)
+        # maybe_: a padded batch always divides the data axis, but the very
+        # first batch of a tiny test set can be smaller than device count
+        batch_input = maybe_shard_batch(batch_input, mesh)
         pred = eval_step(params, batch_input)
         pred = np.array(pred[:n])  # writable host copy
         batch_input = batch_input[:n]
@@ -341,16 +342,19 @@ def train_with_config(args, opts):
     st = 0
     resume_payload = None
 
-    def load_params_file(path):
-        if path.endswith(".bin") or path.endswith(".pth"):
-            return load_torch_checkpoint(path)["params"]
-        return load_checkpoint(path)["params"]
-
     if args.get("finetune", False):
         chk = opts.evaluate or opts.resume or os.path.join(
             opts.pretrained, opts.selection)
         print("Loading checkpoint", chk)
-        params = load_params_file(chk)  # strict (train.py:265)
+        if chk.endswith(".bin") or chk.endswith(".pth"):
+            params = load_torch_checkpoint(chk)["params"]  # strict
+        else:
+            payload = load_checkpoint(chk)
+            params = payload["params"]
+            if opts.resume:
+                # the reference restores epoch/optimizer/lr/min_loss on
+                # resume regardless of finetune (train.py:295-304)
+                resume_payload = payload
     else:
         if ckpt_mgr.has_latest() and not opts.resume and not opts.evaluate:
             opts.resume = ckpt_mgr.latest_path

@@ -27,15 +27,22 @@ def make_adamw(lr: float, weight_decay: float) -> optax.GradientTransformation:
 
 
 def freeze_except(tx: optax.GradientTransformation, params,
-                  patterns) -> optax.GradientTransformation:
+                  patterns, scope: str = None) -> optax.GradientTransformation:
     """Train only params whose path contains one of `patterns`; freeze the
     rest (reference partial_train_layers, learning.py:69-77).
+
+    scope: when given, only paths containing it are subject to freezing —
+    the reference applies partial_train to the BACKBONE alone before
+    wrapping it in a task model, so task heads stay trainable
+    (train_action.py:95-97, train_mesh.py:236-238).
     """
     patterns = list(patterns)
 
     def label_fn(p):
         def leaf_label(path, _):
             key = jax.tree_util.keystr(path)
+            if scope is not None and scope not in key:
+                return "train"
             return "train" if any(pat in key for pat in patterns) else "freeze"
 
         return jax.tree_util.tree_map_with_path(leaf_label, p)

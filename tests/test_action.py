@@ -63,7 +63,7 @@ def test_supcon_golden():
 
     g = np.load(os.path.join(GOLDENS, "supcon.npz"))
     loss = supcon_loss(jnp.asarray(g["feats"]), jnp.asarray(g["labels"]),
-                       temperature=0.1, base_temperature=0.1)
+                       temperature=0.1, base_temperature=0.07)
     np.testing.assert_allclose(float(loss), float(g["loss"]), rtol=1e-5)
 
 
@@ -78,7 +78,7 @@ def test_supcon_mperclass_step_semantics_golden():
     feats = jnp.asarray(g["feats_mpc"])          # (batch, hidden), L2-normed
     feat = feats.reshape(feats.shape[0], -1, feats.shape[-1])
     loss = supcon_loss(feat, labels=jnp.asarray(g["labels_mpc"]),
-                       temperature=0.1, base_temperature=0.1)
+                       temperature=0.1, base_temperature=0.07)
     np.testing.assert_allclose(float(loss), float(g["loss_mpc"]), rtol=1e-5)
 
 
@@ -110,7 +110,7 @@ def test_supcon_step_sharded_matches_single_device():
     rng = jax.random.PRNGKey(7)
 
     model, state = build()
-    step = make_supcon_train_step(model, n_views=2, hidden_dim=64,
+    step = make_supcon_train_step(model, hidden_dim=64,
                                   temperature=0.1)
     single, loss_single = step(state, xb, yb, rng)
 
@@ -118,7 +118,7 @@ def test_supcon_step_sharded_matches_single_device():
     model2, state2 = build()
     state2 = state2.replace(params=shard_params(state2.params, mesh))
     xs, ys = shard_batch((xb, yb), mesh)
-    step2 = make_supcon_train_step(model2, n_views=2, hidden_dim=64,
+    step2 = make_supcon_train_step(model2, hidden_dim=64,
                                    temperature=0.1)
     sharded, loss_sharded = step2(state2, xs, ys, rng)
     np.testing.assert_allclose(float(loss_sharded), float(loss_single),

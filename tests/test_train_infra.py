@@ -143,3 +143,89 @@ def test_parity_gate_plumbing(tmp_path):
     # and the gate actually gates: a tiny tolerance must fail
     assert not run_gate("configs/pose3d/MB_train_synth_smoke.yaml",
                         ckpt_file, published=0.0, tol=1e-9)
+
+
+def test_freeze_except_scope_leaves_head_trainable():
+    """With scope="backbone", partial_train patterns freeze only backbone
+    params — the reference applies partial_train_layers to the backbone
+    alone before wrapping it in the task model, so heads always train
+    (reference train_action.py:95-97)."""
+    from motionbert_tpu.models.action_heads import ActionNet
+    from motionbert_tpu.train.action import make_action_train_step
+
+    backbone = DSTformer(**CFG)
+    model = ActionNet(backbone=backbone, dim_rep=32, num_classes=6,
+                      dropout_ratio=0.0, version="class", hidden_dim=64)
+    x0 = jnp.zeros((1, 2, 9, 17, 3))
+    variables = model.init(jax.random.PRNGKey(0), x0)
+    params = variables["params"]
+    tx = freeze_except(make_adamw(1e-2, 0.0), params, ["blocks_st"],
+                       scope="backbone")
+    state = TrainState.create(
+        model.apply, params, tx,
+        extra_vars={"batch_stats": variables["batch_stats"]})
+    step = make_action_train_step(model)
+    rs = np.random.RandomState(0)
+    xb = jnp.asarray(rs.normal(size=(4, 2, 9, 17, 3)), jnp.float32)
+    yb = jnp.asarray(rs.randint(0, 6, 4))
+    # host copy first: the train step donates the state's param buffers
+    params0 = jax.tree_util.tree_map(np.asarray, params)
+    new_state, _ = step(state, xb, yb, jax.random.PRNGKey(1))
+
+    changed = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).max()) > 0, params0,
+        new_state.params)
+    for path, did_change in jax.tree_util.tree_flatten_with_path(changed)[0]:
+        key = jax.tree_util.keystr(path)
+        if "backbone" in key:
+            assert did_change == ("blocks_st" in key), (key, did_change)
+        else:  # head params must always train
+            assert did_change, key
+
+
+def test_load_any_checkpoint_roundtrip(tmp_path):
+    """Native checkpoints return the full payload; the helper is what every
+    trainer's --evaluate/--resume path uses (torch .bin fallback included,
+    exercised by the converter tests)."""
+    from motionbert_tpu.core.checkpoint import (
+        load_any_checkpoint, save_checkpoint)
+
+    path = os.path.join(tmp_path, "latest_epoch.ckpt")
+    save_checkpoint(path, epoch=7, lr=1e-4, params={"w": np.ones(3)})
+    payload = load_any_checkpoint(path)
+    assert payload["epoch"] == 7 and payload["lr"] == 1e-4
+    np.testing.assert_array_equal(payload["params"]["w"], np.ones(3))
+
+
+def test_pose3d_finetune_resume_restores_epoch(tmp_path):
+    """finetune + --resume must continue from the saved epoch/optimizer
+    instead of silently restarting (reference train.py:295-304 restores
+    them regardless of finetune)."""
+    import types
+
+    from motionbert_tpu.core.config import get_config
+    from motionbert_tpu.train.pose3d import train_with_config
+
+    args = get_config("configs/pose3d/MB_train_synth_smoke.yaml")
+    args.epochs = 1
+    args.no_eval = True
+    ckpt = os.path.join(tmp_path, "ckpt")
+    opts = types.SimpleNamespace(checkpoint=ckpt, pretrained="", resume="",
+                                 evaluate="", selection="", seed=0)
+    train_with_config(args, opts)
+    latest = os.path.join(ckpt, "latest_epoch.ckpt")
+    assert os.path.exists(latest)
+
+    # resume the same checkpoint with finetune=true: epoch must advance to
+    # 2, not restart at 1 (which would be the from-scratch finetune path)
+    args2 = get_config("configs/pose3d/MB_train_synth_smoke.yaml")
+    args2.epochs = 2
+    args2.no_eval = True
+    args2["finetune"] = True
+    opts2 = types.SimpleNamespace(checkpoint=ckpt, pretrained="",
+                                  resume=latest, evaluate="", selection="",
+                                  seed=0)
+    train_with_config(args2, opts2)
+    from motionbert_tpu.core.checkpoint import load_checkpoint
+
+    assert load_checkpoint(latest)["epoch"] == 2

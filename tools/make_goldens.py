@@ -326,7 +326,9 @@ def golden_supcon():
     feats = rs.normal(size=(8, 2, 16)).astype(np.float32)
     feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
     labels = rs.randint(0, 3, 8)
-    loss = SupConLoss(temperature=0.1, base_temperature=0.1)(
+    # instantiate exactly as the reference trainer does
+    # (train_action_1shot.py:95): base_temperature keeps its 0.07 default
+    loss = SupConLoss(temperature=0.1)(
         torch.from_numpy(feats), torch.from_numpy(labels))
 
     # The one-shot trainer's exact semantics (train_action_1shot.py:188-196):
@@ -339,7 +341,7 @@ def golden_supcon():
     rs2.shuffle(labels_m)
     feats_m = rs2.normal(size=(batch, hidden)).astype(np.float32)
     feats_m /= np.linalg.norm(feats_m, axis=-1, keepdims=True)
-    loss_m = SupConLoss(temperature=0.1, base_temperature=0.1)(
+    loss_m = SupConLoss(temperature=0.1)(
         torch.from_numpy(feats_m.reshape(batch, -1, hidden)),
         torch.from_numpy(labels_m))
     np.savez_compressed(os.path.join(OUT, "supcon.npz"), feats=feats,
