@@ -32,6 +32,10 @@ def build_native(force: bool = False) -> str:
     """Compile the shared library if missing; returns its path."""
     so = _lib_path()
     src = os.path.join(os.path.dirname(so), "clipstore.cpp")
+    if not os.path.exists(src):  # deployed with a prebuilt .so only
+        if os.path.exists(so) and not force:
+            return so
+        raise FileNotFoundError(f"cannot (re)build {so}: missing {src}")
     if force or not os.path.exists(so) or (
             os.path.getmtime(src) > os.path.getmtime(so)):
         subprocess.run(
@@ -145,25 +149,35 @@ class ClipStoreDataset3D:
     def __init__(self, path: str, synthetic: bool = False,
                  gt_2d: bool = False, scale_range_pretrain=None,
                  data_split: str = "train"):
+        from motionbert_tpu.data.datasets import EpochSeededRNG
+
         self.store = ClipStore(path)
         self.synthetic = synthetic
         self.gt_2d = gt_2d
         self.scale_range_pretrain = scale_range_pretrain
         self.data_split = data_split
-        self.rng = np.random.RandomState(0)
+        self._rng = EpochSeededRNG()
+        self.set_epoch = self._rng.set_epoch  # BatchLoader hook
 
     def __len__(self):
         return len(self.store)
 
-    def _postprocess(self, inputs, labels):
+    def _postprocess(self, inputs, labels, indices):
         from motionbert_tpu.geometry.transforms import crop_scale_3d
 
         if self.data_split == "train" and (self.synthetic or self.gt_2d):
             if self.scale_range_pretrain:
                 labels = np.stack([
-                    crop_scale_3d(m, self.scale_range_pretrain, rng=self.rng)
-                    for m in labels]).astype(np.float32)
+                    crop_scale_3d(m, self.scale_range_pretrain,
+                                  rng=self._rng.item_rng(int(i)))
+                    for i, m in zip(indices, labels)]).astype(np.float32)
             inputs = np.zeros_like(labels)
+            inputs[..., :2] = labels[..., :2]
+            inputs[..., 2] = 1.0
+        elif self.data_split == "test" and self.gt_2d:
+            # MotionDataset3D's test branch (datasets.py): evaluate on GT
+            # xy with confidence 1 instead of detector 2D
+            inputs = inputs.copy()
             inputs[..., :2] = labels[..., :2]
             inputs[..., 2] = 1.0
         elif inputs is None:
@@ -172,7 +186,7 @@ class ClipStoreDataset3D:
 
     def get_batch(self, indices):
         inputs, labels = self.store.gather(indices)
-        return self._postprocess(inputs, labels)
+        return self._postprocess(inputs, labels, indices)
 
     def __getitem__(self, index):
         inputs, labels = self.get_batch([index])

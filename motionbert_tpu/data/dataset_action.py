@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from motionbert_tpu.core.config import read_pkl
+from motionbert_tpu.data.datasets import EpochSeededRNG
 from motionbert_tpu.geometry.skeleton import coco2h36m
 from motionbert_tpu.geometry.transforms import (
     crop_scale, human_tracking, make_cam, random_move, resample)
@@ -23,7 +24,7 @@ def get_action_names(file_path="data/action/ntu_actions.txt"):
     return [a.split(".")[1][1:] for a in actions if a]
 
 
-class ActionDataset:
+class ActionDataset(EpochSeededRNG):
     def __init__(self, data_path, data_split, n_frames=243, random_move=True,
                  scale_range=(1, 1), check_split=True):
         np.random.seed(0)
@@ -63,18 +64,23 @@ class ActionDataset:
     def __len__(self):
         return len(self.motions)
 
-    def __getitem__(self, index):
-        raise NotImplementedError
+    def __getitem__(self, idx):
+        """random_move jitter (train) + crop_scale, with a per-(epoch,
+        index) RNG (thread-safe under the threaded BatchLoader). Shared by
+        NTURGBD and NTURGBD1Shot — the reference duplicates it
+        (dataset_action.py:162-182, 196-205)."""
+        motion, label = self.motions[idx], self.labels[idx]  # (M, T, J, C)
+        rng = self.item_rng(idx)
+        if self.random_move:
+            motion = random_move(motion, rng=rng)
+        if self.scale_range:
+            motion = crop_scale(motion, scale_range=self.scale_range,
+                                rng=rng)
+        return motion.astype(np.float32), label
 
 
 class NTURGBD(ActionDataset):
-    def __getitem__(self, idx):
-        motion, label = self.motions[idx], self.labels[idx]  # (M, T, J, C)
-        if self.random_move:
-            motion = random_move(motion)
-        if self.scale_range:
-            motion = crop_scale(motion, scale_range=self.scale_range)
-        return motion.astype(np.float32), label
+    pass
 
 
 # NTU120 one-shot protocol: these 20 classes are held out as evaluation
@@ -93,14 +99,6 @@ class NTURGBD1Shot(ActionDataset):
         keep = ~np.isin(self.labels, ONESHOT_CLASSES)
         self.motions = self.motions[keep]
         self.labels = np.array([old2new[x] for x in self.labels[keep]])
-
-    def __getitem__(self, idx):
-        motion, label = self.motions[idx], self.labels[idx]
-        if self.random_move:
-            motion = random_move(motion)
-        if self.scale_range:
-            motion = crop_scale(motion, scale_range=self.scale_range)
-        return motion.astype(np.float32), label
 
 
 class MPerClassSampler:

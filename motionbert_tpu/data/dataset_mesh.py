@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from motionbert_tpu.data.datasets import EpochSeededRNG
 from motionbert_tpu.data.readers import DataReaderH36M, DataReaderMesh
 from motionbert_tpu.geometry.rotations import flip_thetas_np
 from motionbert_tpu.geometry.skeleton import flip_data
@@ -47,14 +48,17 @@ class SMPLDataset:
 
         split_train, split_test = datareader.get_split_id()
         train_data, test_data = datareader.read_2d()
-        self.motion_2d = {"train": train_data[split_train],
-                          "test": test_data[split_test]}[data_split]
+        # slice only the selected split (the other fancy-index would copy
+        # a (n_clips, T, 17, 3) array just to throw it away)
+        split = split_train if data_split == "train" else split_test
+        if data_split not in ("train", "test"):
+            raise ValueError(f"Data split unknown: {data_split!r}")
+        self.motion_2d = (train_data if data_split == "train"
+                          else test_data)[split]
         dt = datareader.dt_dataset
-        split = {"train": split_train, "test": split_test}[data_split]
-        key = {"train": "train", "test": "test"}[data_split]
         self.motion_smpl_3d = {
-            "pose": dt[key]["smpl_pose"][split],
-            "shape": dt[key]["smpl_shape"][split],
+            "pose": dt[data_split]["smpl_pose"][split],
+            "shape": dt[data_split]["smpl_shape"][split],
         }
 
     def __len__(self):
@@ -64,11 +68,10 @@ class SMPLDataset:
         raise NotImplementedError
 
 
-class MotionSMPL(SMPLDataset):
+class MotionSMPL(SMPLDataset, EpochSeededRNG):
     def __init__(self, args, data_split, dataset, smpl_model):
         super().__init__(args, data_split, dataset, smpl_model)
         self.flip = bool(args.get("flip", False))
-        self.rng = np.random.RandomState(0)
 
     def __getitem__(self, index):
         motion_2d = self.motion_2d[index].copy()  # (T, 17, 3)
@@ -77,7 +80,7 @@ class MotionSMPL(SMPLDataset):
         shape = self.motion_smpl_3d["shape"][index].reshape(-1, 10)
 
         if self.data_split == "train" and self.flip and \
-                self.rng.random() > 0.5:
+                self.item_rng(index).random() > 0.5:
             motion_2d = flip_data(motion_2d)
             pose = flip_thetas_np(pose)
 
@@ -103,7 +106,7 @@ class MotionSMPL(SMPLDataset):
         ~790 consumed, tools/bench_loader.py); the batched LBS runs in
         large BLAS ops that release the GIL. BatchLoader auto-detects this
         method. Matches __getitem__'s outputs exactly (same f32 LBS, same
-        rng stream for the flip augmentation, drawn in index order)."""
+        per-(epoch, index) flip RNG — see EpochSeededRNG)."""
         indices = np.asarray(indices)
         motion_2d = self.motion_2d[indices].copy()       # (B, T, 17, 3)
         motion_2d[..., 2] = np.clip(motion_2d[..., 2], 0, 1)
@@ -113,8 +116,8 @@ class MotionSMPL(SMPLDataset):
         T = pose.shape[1]
 
         if self.data_split == "train" and self.flip:
-            for i in range(B):
-                if self.rng.random() > 0.5:
+            for i, idx in enumerate(indices):
+                if self.item_rng(int(idx)).random() > 0.5:
                     motion_2d[i] = flip_data(motion_2d[i])
                     pose[i] = flip_thetas_np(pose[i])
 

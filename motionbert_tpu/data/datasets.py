@@ -28,7 +28,32 @@ from motionbert_tpu.core.config import read_pkl
 from motionbert_tpu.geometry.transforms import crop_scale, crop_scale_3d
 
 
-class MotionDataset3D:
+class EpochSeededRNG:
+    """Deterministic, thread-safe per-item augmentation RNG.
+
+    The threaded BatchLoader runs __getitem__ on several threads at once;
+    a shared RandomState would interleave draws scheduling-dependently
+    (and legacy RandomState is not thread-safe). Each item instead derives
+    a private RandomState from (seed, epoch, index): reproducible
+    regardless of worker scheduling, yet varying across epochs
+    (BatchLoader calls set_epoch at the start of every iteration). The
+    reference gets the equivalent guarantee from per-process DataLoader
+    workers with deterministic per-worker seeding (train.py:219-240).
+    """
+
+    _seed = 0
+    _epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch)
+
+    def item_rng(self, index: int) -> np.random.RandomState:
+        return np.random.RandomState(
+            (1000003 * self._seed + 10007 * self._epoch + index)
+            % (2 ** 32))
+
+
+class MotionDataset3D(EpochSeededRNG):
     """File-per-clip dataset: <data_root>/<subset>/<split>/*.pkl, each
     {"data_input": (T,17,3) or None, "data_label": (T,17,3)}."""
 
@@ -39,7 +64,6 @@ class MotionDataset3D:
         self.synthetic = bool(args.get("synthetic", False))
         self.gt_2d = bool(args.get("gt_2d", False))
         self.scale_range_pretrain = args.get("scale_range_pretrain", None)
-        self.rng = np.random.RandomState(0)
         self.file_list = []
         for subset in subset_list:
             path = os.path.join(self.data_root, subset, data_split)
@@ -56,8 +80,8 @@ class MotionDataset3D:
             if self.synthetic or self.gt_2d:
                 if self.scale_range_pretrain:
                     motion_3d = crop_scale_3d(
-                        motion_3d, self.scale_range_pretrain, rng=self.rng
-                    ).astype(np.float32)
+                        motion_3d, self.scale_range_pretrain,
+                        rng=self.item_rng(index)).astype(np.float32)
                 motion_2d = np.zeros(motion_3d.shape, dtype=np.float32)
                 motion_2d[:, :, :2] = motion_3d[:, :, :2]
                 motion_2d[:, :, 2] = 1.0  # no detection: GT xy, conf 1
@@ -123,7 +147,7 @@ class PoseTrackDataset2D:
         return m, m
 
 
-class InstaVDataset2D:
+class InstaVDataset2D(EpochSeededRNG):
     """InstaVariety 2D clips (dataset_motion_2d.py:123-147)."""
 
     def __init__(self, data_root="data/motion2d/InstaVariety", n_frames=81,
@@ -133,7 +157,6 @@ class InstaVDataset2D:
 
         self.flip = flip
         self.scale_range = scale_range
-        self.rng = np.random.RandomState(0)
         motion_all = np.load(os.path.join(data_root, "motion_all.npy"))
         id_all = np.load(os.path.join(data_root, "id_all.npy"))
         split_id = split_clips(id_all, n_frames, data_stride)
@@ -145,7 +168,8 @@ class InstaVDataset2D:
         return len(self.motions_2d)
 
     def __getitem__(self, index):
-        m = crop_scale(self.motions_2d[index], self.scale_range, rng=self.rng)
+        m = crop_scale(self.motions_2d[index], self.scale_range,
+                       rng=self.item_rng(index))
         m[m[:, :, 2] == 0] = 0
         m = m.astype(np.float32)
         return m, m
@@ -182,6 +206,7 @@ class BatchLoader:
         self.prefetch = prefetch
         self.sampler = sampler  # iterable of indices (overrides shuffle)
         self.rng = np.random.RandomState(seed)
+        self._epoch = 0
 
     def __len__(self):
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)
@@ -206,6 +231,13 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # per-epoch augmentation seeding for datasets that derive their
+        # item RNG from (seed, epoch, index) — see EpochSeededRNG
+        set_epoch = getattr(self.dataset, "set_epoch", None)
+        if set_epoch is not None:
+            set_epoch(self._epoch)
+        self._epoch += 1
+
         # fast path: datasets with a native batch gather (data.clipstore)
         get_batch = getattr(self.dataset, "get_batch", None)
 
@@ -221,20 +253,28 @@ class BatchLoader:
             return False
 
         def produce():
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                try:
-                    for b in self._batches():
-                        if stop.is_set():
-                            return
-                        if get_batch is not None:
-                            batch = get_batch(b)
-                        else:
-                            items = list(pool.map(self.dataset.__getitem__, b))
-                            batch = _collate(items)
-                        if not put(batch):
-                            return
-                finally:
-                    put(None)
+            # the thread pool only exists for per-item decode; batch-gather
+            # datasets never touch it
+            pool = (cf.ThreadPoolExecutor(self.num_workers)
+                    if get_batch is None else None)
+            try:
+                for b in self._batches():
+                    if stop.is_set():
+                        return
+                    if get_batch is not None:
+                        batch = get_batch(b)
+                    else:
+                        items = list(pool.map(self.dataset.__getitem__, b))
+                        batch = _collate(items)
+                    if not put(batch):
+                        return
+            except BaseException as e:  # surface in the consumer — a
+                put(e)                  # swallowed error would silently
+                return                  # truncate the epoch
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
+                put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -243,6 +283,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -117,3 +117,14 @@ def test_pack_tool_roundtrip(tmp_path):
     for i in range(6):
         np.testing.assert_array_equal(gi[i], clips[i]["data_input"])
         np.testing.assert_array_equal(gl[i], clips[i]["data_label"])
+
+
+def test_clipstore_gt_2d_test_split(store_paths):
+    """gt_2d on the test split substitutes GT xy with conf=1 — matching
+    MotionDataset3D's test branch (the eval protocol for gt_2d configs)."""
+    both, labels_only, inputs, labels = store_paths
+    ds = ClipStoreDataset3D(both, gt_2d=True, data_split="test")
+    x, y = ds[3]
+    np.testing.assert_array_equal(x[..., :2], labels[3][..., :2])
+    np.testing.assert_array_equal(x[..., 2], 1.0)
+    np.testing.assert_array_equal(y, labels[3])

@@ -168,3 +168,46 @@ def test_tolerant_pretrained_loading():
     np.testing.assert_allclose(out["a"]["kernel"], 1.0)  # matched
     np.testing.assert_allclose(out["b"]["bias"], 0.0)    # shape mismatch kept
     assert len(matched) == 1 and len(discarded) == 1
+
+
+def test_batchloader_propagates_worker_exception():
+    """A failing item decode must raise in the consumer, not silently
+    truncate the epoch."""
+    from motionbert_tpu.data.datasets import BatchLoader
+
+    class Boom:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            if i == 7:
+                raise ValueError("corrupt clip")
+            return np.zeros((4, 17, 3), np.float32), np.zeros(
+                (4, 17, 3), np.float32)
+
+    loader = BatchLoader(Boom(), batch_size=4, shuffle=False, num_workers=2)
+    with pytest.raises(ValueError, match="corrupt clip"):
+        list(loader)
+
+
+def test_item_rng_is_per_index_and_per_epoch():
+    """Augmentation draws are deterministic per (epoch, index) regardless
+    of worker scheduling, and vary across epochs (the threaded loader
+    bumps the dataset epoch each iteration)."""
+    from motionbert_tpu.data.datasets import BatchLoader, EpochSeededRNG
+
+    class DS(EpochSeededRNG):
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return np.float32(self.item_rng(i).random()), np.float32(i)
+
+    ds, ds2 = DS(), DS()
+    l1 = BatchLoader(ds, batch_size=4, num_workers=4)
+    l2 = BatchLoader(ds2, batch_size=4, num_workers=1)
+    e1a = np.concatenate([b[0] for b in l1])
+    e1b = np.concatenate([b[0] for b in l2])
+    np.testing.assert_array_equal(e1a, e1b)  # scheduling-independent
+    e2 = np.concatenate([b[0] for b in l1])  # second epoch: new draws
+    assert not np.array_equal(e1a, e2)
