@@ -211,7 +211,9 @@ def bench_mesh_training(iters=2):
         model.apply, variables["params"],
         make_two_group_adamw(args.lr_backbone, args.lr_head,
                              args.weight_decay), extra_vars=extra)
-    lambdas = {k: args.get(k, 0.0) for k in
+    # strict access: a missing lambda key should fail loudly like
+    # the reference's args.lambda_* attribute reads
+    lambdas = {k: args[k] for k in
                ("lambda_3d", "lambda_scale", "lambda_3dv", "lambda_lv",
                 "lambda_lg", "lambda_a", "lambda_av", "lambda_pose",
                 "lambda_shape", "lambda_norm")}

@@ -70,7 +70,11 @@ def rot6d_to_rotmat(x):
     a2 = x[:, :, 1]
 
     def _normalize(v, eps=1e-6):
-        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        # sum-square + double-where instead of jnp.linalg.norm: norm has a
+        # NaN gradient at exactly 0 that the eps clamp does NOT block
+        # (CLAUDE.md invariant), and this sits on the mesh training path
+        sq = jnp.sum(v * v, axis=-1, keepdims=True)
+        n = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
         return v / jnp.maximum(n, eps)
 
     b1 = _normalize(a1)
@@ -173,15 +177,22 @@ def flip_thetas_np(thetas):
 
 
 def rot6d_to_rotmat_spin(x):
-    """SPIN's rot6d variant (reference utils_mesh.py:294-313): plain
-    normalize (no eps clamp) before Gram-Schmidt."""
+    """SPIN's rot6d variant (reference utils_mesh.py:294-313): F.normalize
+    (eps=1e-12 denominator clamp) before Gram-Schmidt — a degenerate
+    column yields a zero row like torch, not 0/0 = NaN."""
     shape = x.shape[:-1]
     x = x.reshape(-1, 3, 2)
     a1 = x[:, :, 0]
     a2 = x[:, :, 1]
-    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True)
+
+    def _fnormalize(v):  # torch F.normalize semantics, NaN-free grad
+        sq = jnp.sum(v * v, axis=-1, keepdims=True)
+        n = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        return v / jnp.maximum(jnp.where(sq > 0, n, 0.0), 1e-12)
+
+    b1 = _fnormalize(a1)
     inp = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = inp / jnp.linalg.norm(inp, axis=-1, keepdims=True)
+    b2 = _fnormalize(inp)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1).reshape(shape + (3, 3))
 

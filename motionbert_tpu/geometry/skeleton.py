@@ -149,9 +149,15 @@ _POSETRACK2H36M = _remap_matrix(
 
 
 def _apply_remap(x, matrix):
-    """x: (..., V, C) -> (..., 17, C) via einsum with the mixing matrix."""
+    """x: (..., V, C) -> (..., 17, C) via einsum with the mixing matrix.
+
+    Always computes in floating point: casting the fractional mixing
+    weights (0.5/0.25 rows) to an integer input dtype would truncate them
+    to 0 and silently zero every averaged joint (the reference computes
+    the averages in float, dataset_action.py:31-74)."""
     x = np.asarray(x)
-    return np.einsum("jv,...vc->...jc", matrix.astype(x.dtype), x)
+    dt = x.dtype if np.issubdtype(x.dtype, np.floating) else np.float64
+    return np.einsum("jv,...vc->...jc", matrix.astype(dt), x.astype(dt))
 
 
 def coco2h36m(x):

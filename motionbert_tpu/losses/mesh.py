@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from motionbert_tpu.geometry.rotations import batch_rodrigues
 from motionbert_tpu.losses.pose import (
     loss_angle, loss_angle_velocity, loss_limb_gt, loss_limb_var, loss_mpjpe,
-    loss_velocity, n_mpjpe)
+    loss_velocity, n_mpjpe, safe_norm)
 
 
 def mesh_loss_terms(smpl_output: dict, data_gt: dict, loss_type: str = "L1"):
@@ -48,24 +48,30 @@ def mesh_loss_terms(smpl_output: dict, data_gt: dict, loss_type: str = "L1"):
         "loss_av": loss_angle_velocity(preds_local, gt_local),
         "loss_pose": crit(pred_rotmat, gt_rotmat),
         "loss_shape": crit(pred_shape, real_shape),
-        "loss_norm": jnp.mean(jnp.linalg.norm(pred_theta, axis=-1)),
+        # safe_norm: a zero theta row would NaN the whole batch's gradient
+        # through jnp.linalg.norm (CLAUDE.md invariant)
+        "loss_norm": jnp.mean(safe_norm(pred_theta)),
     }
 
 
 def mesh_total_loss(smpl_output, data_gt, lambdas, loss_type="L1"):
-    """Weighted sum (reference train_mesh.py:179-189). Returns (total, terms)."""
+    """Weighted sum (reference train_mesh.py:179-189). Returns (total, terms).
+
+    Every lambda key is REQUIRED — a missing/misspelled key raises like
+    the reference's attribute access does, instead of silently training
+    with that term weighted 0."""
     terms = mesh_loss_terms(smpl_output, data_gt, loss_type)
     total = (
-        lambdas.get("lambda_3d", 0.0) * terms["loss_3d_pos"]
-        + lambdas.get("lambda_scale", 0.0) * terms["loss_3d_scale"]
-        + lambdas.get("lambda_3dv", 0.0) * terms["loss_3d_velocity"]
-        + lambdas.get("lambda_lv", 0.0) * terms["loss_lv"]
-        + lambdas.get("lambda_lg", 0.0) * terms["loss_lg"]
-        + lambdas.get("lambda_a", 0.0) * terms["loss_a"]
-        + lambdas.get("lambda_av", 0.0) * terms["loss_av"]
-        + lambdas.get("lambda_pose", 0.0) * terms["loss_pose"]
-        + lambdas.get("lambda_shape", 0.0) * terms["loss_shape"]
-        + lambdas.get("lambda_norm", 0.0) * terms["loss_norm"]
+        lambdas["lambda_3d"] * terms["loss_3d_pos"]
+        + lambdas["lambda_scale"] * terms["loss_3d_scale"]
+        + lambdas["lambda_3dv"] * terms["loss_3d_velocity"]
+        + lambdas["lambda_lv"] * terms["loss_lv"]
+        + lambdas["lambda_lg"] * terms["loss_lg"]
+        + lambdas["lambda_a"] * terms["loss_a"]
+        + lambdas["lambda_av"] * terms["loss_av"]
+        + lambdas["lambda_pose"] * terms["loss_pose"]
+        + lambdas["lambda_shape"] * terms["loss_shape"]
+        + lambdas["lambda_norm"] * terms["loss_norm"]
     )
     terms["total"] = total
     return total, terms

@@ -274,7 +274,9 @@ def train_with_config(args, opts):
         if (resume_payload.get("meta") or {}).get("rng") is not None:
             rng = jnp.asarray(resume_payload["meta"]["rng"])
 
-    lambdas = {k: args.get(k, 0.0) for k in
+    # strict access: a missing lambda key should fail loudly like
+    # the reference's args.lambda_* attribute reads
+    lambdas = {k: args[k] for k in
                ("lambda_3d", "lambda_scale", "lambda_3dv", "lambda_lv",
                 "lambda_lg", "lambda_a", "lambda_av", "lambda_pose",
                 "lambda_shape", "lambda_norm")}

@@ -143,8 +143,11 @@ def test_mesh_loss_and_train_step():
         "kp_3d": jnp.asarray(kp - kp[:, :, :1]),
         "verts": jnp.asarray(verts - kp[:, :, :1]),
     }
-    lambdas = dict(lambda_3d=0.5, lambda_3dv=10, lambda_pose=1000,
-                   lambda_shape=1, lambda_norm=20)
+    # all 10 keys are required (missing lambdas fail loudly, like the
+    # reference's args.lambda_* attribute reads)
+    lambdas = dict(lambda_3d=0.5, lambda_scale=0, lambda_3dv=10,
+                   lambda_lv=0, lambda_lg=0, lambda_a=0, lambda_av=0,
+                   lambda_pose=1000, lambda_shape=1, lambda_norm=20)
     step = make_mesh_train_step(model, lambdas, "L1")
     first = None
     for i in range(10):
