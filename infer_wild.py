@@ -54,11 +54,9 @@ def main():
     from motionbert_tpu.infer.wild_pose import run_wild_pose
     from motionbert_tpu.models.factory import load_backbone
 
-    from motionbert_tpu.models.factory import default_attn_impl
 
     args = get_config(opts.config)
-    model = load_backbone(
-        args, attn_impl=args.get("attn_impl", default_attn_impl()))
+    model = load_backbone(args)
     if opts.pixel and not opts.vid_path:
         raise SystemExit("--pixel requires --vid_path (pixel-space output "
                          "needs the video resolution)")

@@ -64,8 +64,12 @@ class ActionHeadEmbed(nn.Module):
         drop = nn.Dropout(self.dropout_ratio)
         feat = _pool_feat(feat, drop, deterministic)
         feat = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(feat)
-        norm = jnp.linalg.norm(feat, axis=-1, keepdims=True)
-        return feat / jnp.maximum(norm, 1e-12)
+        # F.normalize semantics with a NaN-free backward: jnp.linalg.norm
+        # has a NaN grad at exactly 0 that the eps clamp does not block
+        # (CLAUDE.md invariant) — and this sits on the SupCon train path
+        sq = jnp.sum(feat * feat, axis=-1, keepdims=True)
+        norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        return feat / jnp.maximum(jnp.where(sq > 0, norm, 0.0), 1e-12)
 
 
 class ActionNet(nn.Module):

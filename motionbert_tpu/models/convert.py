@@ -41,12 +41,10 @@ def _set_nested(tree: dict, path: Tuple[str, ...], value: np.ndarray):
 _LIST_MODULES = ("blocks_st", "blocks_ts", "ts_attn")
 
 
-def _torch_key_to_flax_path(key: str) -> Tuple[Tuple[str, ...], str]:
-    """Map a torch state_dict key to (flax path, kind).
-
-    kind in {'linear_w', 'b', 'ln_w', 'param'} controls the tensor transform.
-    Returns path WITHOUT the leading collection ('params'/'batch_stats').
-    """
+def _torch_key_to_flax_path(key: str) -> Tuple[str, ...]:
+    """Map a torch state_dict key to its flax param path (the caller
+    infers the tensor transform from the leaf name and module). Returns
+    the path WITHOUT the leading collection ('params'/'batch_stats')."""
     parts = key.split(".")
     # collapse indexed module lists: blocks_st.0.x -> blocks_st_0.x
     out = []
@@ -98,6 +96,13 @@ def torch_state_dict_to_flax(
                 _set_nested(params, tuple(mods) + ("scale",), value)
             elif value.ndim == 2:
                 _set_nested(params, tuple(mods) + ("kernel",), value.T)
+            elif value.ndim == 1:
+                # a 1-D torch 'weight' is a norm scale; if its module name
+                # isn't in bn_names/_LN_NAMES, silently storing it under
+                # 'kernel' would corrupt the tree — fail loudly instead
+                raise ValueError(
+                    f"1-D weight {key!r} from unrecognized norm module "
+                    f"{parent!r}: pass it via bn_names or extend _LN_NAMES")
             else:
                 _set_nested(params, tuple(mods) + ("kernel",), value)
         elif leaf == "bias":

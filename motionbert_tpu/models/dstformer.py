@@ -39,10 +39,13 @@ def trunc_normal_init(std: float = 0.02):
 
 
 class DropPath(nn.Module):
-    """Stochastic depth: drop the entire residual branch per sample.
+    """Stochastic depth: drop the residual branch per (clip, frame).
 
     Parity: /root/reference/lib/model/drop.py:17-32 (scale by 1/keep_prob,
-    binarized per-sample mask over the leading axis).
+    binarized mask over the leading axis). The reference blocks run on
+    (B*F, J, C) tensors, so its "per-sample" mask is per (clip, frame);
+    with this repo's natural (B, F, J, C) layout the mask must cover the
+    first TWO axes to keep the same regularization granularity.
     """
 
     rate: float = 0.0
@@ -53,7 +56,7 @@ class DropPath(nn.Module):
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        shape = x.shape[:2] + (1,) * (x.ndim - 2)
         mask = jax.random.bernoulli(rng, keep, shape)
         return jnp.where(mask, x / keep, 0.0)
 

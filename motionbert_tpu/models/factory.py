@@ -52,40 +52,52 @@ def register_backbone(name: str):
     return deco
 
 
+def _cfg_get(args, key, default=None):
+    """Read a config key from EasyDict-like, plain-dict, or attr objects."""
+    if hasattr(args, "get"):
+        return args.get(key, default)
+    return getattr(args, key, default)
+
+
 @register_backbone("DSTformer")
 def _dstformer(args, **overrides):
     kw = dict(
         dim_in=3,
         dim_out=3,
-        dim_feat=args.dim_feat,
-        dim_rep=args.dim_rep,
-        depth=args.depth,
-        num_heads=args.num_heads,
-        mlp_ratio=args.mlp_ratio,
-        maxlen=args.maxlen,
-        num_joints=args.num_joints,
+        dim_feat=_cfg_get(args, "dim_feat"),
+        dim_rep=_cfg_get(args, "dim_rep"),
+        depth=_cfg_get(args, "depth"),
+        num_heads=_cfg_get(args, "num_heads"),
+        mlp_ratio=_cfg_get(args, "mlp_ratio"),
+        maxlen=_cfg_get(args, "maxlen"),
+        num_joints=_cfg_get(args, "num_joints"),
     )
     kw.update(overrides)
     return DSTformer(**kw)
 
 
-def load_backbone(args, compute_dtype=None, attn_impl: str = "xla",
+def load_backbone(args, compute_dtype=None, attn_impl: str = None,
                   **overrides):
     """Build the backbone module named by args.backbone (default DSTformer).
 
     compute_dtype=None resolves from the `bf16` config key when present,
     else default_compute_dtype() (bf16 on TPU, f32 elsewhere). Params are
-    always fp32 regardless; this only sets the matmul/activation dtype."""
-    name = args.get("backbone", "DSTformer") if hasattr(args, "get") else \
-        getattr(args, "backbone", "DSTformer")
+    always fp32 regardless; this only sets the matmul/activation dtype.
+
+    attn_impl=None resolves from the `attn_impl` config key when present,
+    else default_attn_impl() (fused Pallas on TPU, XLA elsewhere) — so the
+    public API and serving paths get the fused kernels without every
+    caller repeating the lookup."""
+    name = _cfg_get(args, "backbone", "DSTformer")
     if name not in _BACKBONES:
         raise ValueError(f"Undefined backbone type: {name!r}; "
                          f"registered: {sorted(_BACKBONES)}")
     if compute_dtype is None:
-        bf16 = args.get("bf16", None) if hasattr(args, "get") else \
-            getattr(args, "bf16", None)
+        bf16 = _cfg_get(args, "bf16", None)
         compute_dtype = default_compute_dtype() if bf16 is None else \
             (jnp.bfloat16 if bf16 else jnp.float32)
+    if attn_impl is None:
+        attn_impl = _cfg_get(args, "attn_impl", None) or default_attn_impl()
     overrides.setdefault("dtype", compute_dtype)
     overrides.setdefault("attn_impl", attn_impl)
     return _BACKBONES[name](args, **overrides)

@@ -29,8 +29,8 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (
-        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+    assert n_data >= 1 and n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} does not fit {len(devices)} device(s)")
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, axis_names=("data", "model"))
 
@@ -105,8 +105,6 @@ def shard_params(params, mesh: Mesh):
                 break
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    placed = {jax.tree_util.keystr(p): place(p, v) for p, v in flat}
-    # rebuild tree
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(
-        treedef, [placed[jax.tree_util.keystr(p)] for p, v in flat])
+        treedef, [place(p, v) for p, v in flat])

@@ -118,10 +118,9 @@ def _logsumexp(x):
 def build_action_model(args):
     from motionbert_tpu.models.action_heads import ActionNet
     from motionbert_tpu.models.factory import (
-        default_attn_impl, load_backbone)
+        load_backbone)
 
-    backbone = load_backbone(args, attn_impl=args.get("attn_impl", default_attn_impl()),
-                             remat=args.get("remat", True))
+    backbone = load_backbone(args, remat=args.get("remat", True))
     return ActionNet(
         backbone=backbone, dim_rep=args.dim_rep,
         num_classes=args.get("action_classes", 60),

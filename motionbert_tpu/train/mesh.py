@@ -147,12 +147,10 @@ def validate(test_loader, model, params, extra_vars, smpl_model, args,
 
 def build_mesh_model(args, smpl_model):
     from motionbert_tpu.models.factory import (
-        default_attn_impl, load_backbone)
+        load_backbone)
     from motionbert_tpu.models.mesh_head import MeshRegressor
 
-    backbone = load_backbone(
-        args, attn_impl=args.get("attn_impl", default_attn_impl()),
-        remat=args.get("remat", False))
+    backbone = load_backbone(args, remat=args.get("remat", False))
     return MeshRegressor(backbone=backbone, smpl_model=smpl_model,
                          dim_rep=args.dim_rep,
                          num_joints=args.num_joints,

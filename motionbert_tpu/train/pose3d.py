@@ -256,7 +256,7 @@ def train_with_config(args, opts):
         BatchLoader, InstaVDataset2D, MotionDataset3D, PoseTrackDataset2D)
     from motionbert_tpu.data.readers import DataReaderH36M
     from motionbert_tpu.models.factory import (
-        default_attn_impl, load_backbone)
+        load_backbone)
     from motionbert_tpu.parallel import make_mesh, shard_batch, shard_params
     from motionbert_tpu.train.state import TrainState, make_adamw
 
@@ -325,8 +325,7 @@ def train_with_config(args, opts):
         data_stride_train=args.data_stride, data_stride_test=args.clip_len,
         dt_root=args.get("dt_root", "data/motion3d"), dt_file=args.dt_file)
 
-    model = load_backbone(args, attn_impl=args.get("attn_impl", default_attn_impl()),
-                          remat=args.get("remat", False))
+    model = load_backbone(args, remat=args.get("remat", False))
     rng = jax.random.PRNGKey(opts.seed)
     rng, init_rng = jax.random.split(rng)
     params = model.init(

@@ -125,6 +125,12 @@ def test_attention_gate_stats():
         stats["attn_count_s"] + stats["attn_count_t"], 1.0, atol=1e-5)
     # zero-weight gate init -> exactly balanced streams
     np.testing.assert_allclose(stats["attn_count_s"], 0.5, atol=1e-6)
+    # the collect_attn branch must compute the SAME forward as the default
+    # path (the sow branch mirrors the gate math; it must never diverge)
+    out_default = model.apply(variables, x)
+    out_collect = model.copy(collect_attn=True).apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_collect),
+                               np.asarray(out_default), atol=1e-6)
 
 
 def test_reset_classifier():
