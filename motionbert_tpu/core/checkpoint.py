@@ -28,10 +28,10 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
-def save_checkpoint(path: str, *, epoch: int, lr: float, params,
-                    opt_state=None, extra_vars=None, best_metric=None,
-                    meta: Optional[dict] = None):
-    payload = {
+def _build_payload(*, epoch: int, lr: float, params, opt_state=None,
+                   extra_vars=None, best_metric=None,
+                   meta: Optional[dict] = None) -> dict:
+    return {
         "epoch": epoch,
         "lr": float(lr) if lr is not None else None,
         "params": _to_host(params),
@@ -40,10 +40,17 @@ def save_checkpoint(path: str, *, epoch: int, lr: float, params,
         "best_metric": best_metric,
         "meta": meta or {},
     }
+
+
+def _write_payload(path: str, payload: dict):
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
     os.replace(tmp, path)  # atomic publish
+
+
+def save_checkpoint(path: str, **kw):
+    _write_payload(path, _build_payload(**kw))
 
 
 def load_checkpoint(path: str) -> dict:
@@ -85,7 +92,7 @@ def load_torch_checkpoint(path: str, model_key: str = "model_pos",
     return torch_state_dict_to_flax(sd, bn_names=tuple(bn_names))
 
 
-def load_pretrained_params(init_params, ckpt_params, prefix: str = "") -> tuple:
+def load_pretrained_params(init_params, ckpt_params) -> tuple:
     """Tolerant weight loading: copy leaves whose path+shape match; keep
     init values elsewhere. Returns (params, matched, discarded) where
     matched/discarded are lists of path strings.
@@ -137,13 +144,17 @@ class CheckpointManager:
         (epoch + 1) % checkpoint_frequency == 0, and the payload records
         epoch + 1 — the epoch resume should START from (train.py:49,297).
         """
-        kw = dict(epoch=epoch + 1, lr=lr, params=params, opt_state=opt_state,
-                  extra_vars=extra_vars, best_metric=best_metric, meta=meta)
-        save_checkpoint(self.latest_path, **kw)
+        # ONE device->host sweep + serialization, written up to 3 times —
+        # per-role save_checkpoint calls would re-fetch the whole
+        # params/opt_state over the slow remote-RPC link each time
+        payload = _build_payload(
+            epoch=epoch + 1, lr=lr, params=params, opt_state=opt_state,
+            extra_vars=extra_vars, best_metric=best_metric, meta=meta)
+        _write_payload(self.latest_path, payload)
         if (epoch + 1) % self.frequency == 0:
-            save_checkpoint(self.path(f"epoch_{epoch}.ckpt"), **kw)
+            _write_payload(self.path(f"epoch_{epoch}.ckpt"), payload)
         if improved:
-            save_checkpoint(self.path(self.BEST), **kw)
+            _write_payload(self.path(self.BEST), payload)
 
     def load_latest(self) -> Optional[dict]:
         if self.has_latest():

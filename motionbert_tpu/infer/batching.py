@@ -25,8 +25,18 @@ def stack_padded(clips, size: int) -> np.ndarray:
     return batch
 
 
+def fetch_result(res):
+    """ONE device->host transfer per output leaf. Fetch before per-element
+    unstacking: slicing a device array per batch element would pay the
+    axon backend's ms-scale dispatch RPC once per element per leaf."""
+    import jax
+
+    return jax.tree_util.tree_map(np.asarray, res)
+
+
 def unstack_result(res, k: int):
-    """Extract batch element k from fn's output pytree as writable numpy."""
+    """Extract batch element k from a (host-fetched) result pytree as
+    writable numpy."""
     import jax
 
     return jax.tree_util.tree_map(lambda a: np.array(a[k]), res)
@@ -46,7 +56,7 @@ def run_batched(clips, batch_size: int, fn):
         bs = min(batch_size, len(idxs))
         for s in range(0, len(idxs), bs):
             grp = idxs[s:s + bs]
-            res = fn(stack_padded([clips[j] for j in grp], bs))
+            res = fetch_result(fn(stack_padded([clips[j] for j in grp], bs)))
             for k, j in enumerate(grp):
                 out[j] = unstack_result(res, k)
     return out

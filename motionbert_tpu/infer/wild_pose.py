@@ -18,7 +18,7 @@ def run_wild_pose(args, *, json_path: str, out_path: str,
                   vid_size=None, fps_in: float = 30.0,
                   pixel: bool = False, focus: Optional[int] = None,
                   clip_len: int = 243, params=None, model=None,
-                  render: bool = True, ref_3d_motion=None):
+                  render: bool = True):
     """Returns the (T, 17, 3) predicted 3D motion (and writes X3D.npy).
 
     args: model config (dim_feat, ...). params: flax params (pre-loaded).
@@ -42,8 +42,10 @@ def run_wild_pose(args, *, json_path: str, out_path: str,
                                       vid_size=None, scale_range=[1, 1],
                                       focus=focus)
 
+    # flip TTA gates on the config's `flip` key, like the reference
+    # (infer_wild.py:73) and this repo's own H36M eval
     eval_step = make_eval_step(model, no_conf=args.get("no_conf", False),
-                               flip_tta=not args.get("no_flip_tta", False))
+                               flip_tta=args.get("flip", False))
 
     from motionbert_tpu.infer.batching import run_batched
 
@@ -51,11 +53,13 @@ def run_wild_pose(args, *, json_path: str, out_path: str,
     preds = run_batched(clips, int(args.get("infer_batch_size", 8)),
                         lambda b: eval_step(params, jnp.asarray(b)))
     results_all = []
-    for pred in preds:
+    for clip, pred in zip(clips, preds):
         if args.get("rootrel", False):
             pred[:, 0, :] = 0  # zero the root joint (infer_wild.py:81-82)
         else:
             pred[0, 0, 2] = 0  # zero frame-0 root depth (infer_wild.py:83-85)
+        if args.get("gt_2d", False):  # keep detector xy (infer_wild.py:86-87)
+            pred[..., :2] = clip[..., :2]
         results_all.append(pred)
     results_all = np.concatenate(results_all)
 

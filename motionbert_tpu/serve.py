@@ -134,7 +134,8 @@ class BatchingServer:
 
     def _dispatch_group(self, group):
         """Run one same-length group as bucket-padded device batches."""
-        from motionbert_tpu.infer.batching import stack_padded, unstack_result
+        from motionbert_tpu.infer.batching import (
+            fetch_result, stack_padded, unstack_result)
 
         while group:
             take = min(len(group), self._buckets[-1])
@@ -145,7 +146,7 @@ class BatchingServer:
             # never the collector thread
             try:
                 batch = stack_padded([c for c, _ in chunk], bucket)
-                res = self._fn(batch)
+                res = fetch_result(self._fn(batch))
                 results = [unstack_result(res, k) for k in range(len(chunk))]
             except Exception as e:  # propagate to every caller in the batch
                 for _, fut in chunk:

@@ -229,7 +229,7 @@ def _save_video(frames, save_path, fps):
     import imageio
 
     try:
-        imageio.mimsave(save_path, frames, fps=int(round(fps)))
+        imageio.mimsave(save_path, frames, fps=float(fps))
         return save_path
     except Exception:
         # no ffmpeg: dump frames as PNGs
@@ -264,8 +264,11 @@ def motion2video_3d(motion, save_path, fps=25, keep_imgs=False):
             color = ("#2e79c7" if (a in LEFT_JOINTS or b in LEFT_JOINTS)
                      else "#e35a5a" if (a in RIGHT_JOINTS or b in RIGHT_JOINTS)
                      else "#444444")
-            ax.plot([pose[a, 0], pose[b, 0]], [pose[a, 1], pose[b, 1]],
-                    [pose[a, 2], pose[b, 2]], color=color, lw=2)
+            # the reference's axis transform (vismo.py:275-280): camera
+            # coords have y pointing down, so plot (-x, -z, -y) to show
+            # the person upright instead of depth-as-vertical
+            ax.plot([-pose[a, 0], -pose[b, 0]], [-pose[a, 2], -pose[b, 2]],
+                    [-pose[a, 1], -pose[b, 1]], color=color, lw=2)
         ax.set_axis_off()
         fig.canvas.draw()
         buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
@@ -325,6 +328,14 @@ def motion2video_mesh(verts, save_path, fps=25, faces=None):
         ax.set_xlim(-lim, lim)
         ax.set_ylim(-lim, lim)
         ax.set_zlim(-lim, lim)
+        # face the camera like the reference (vismo.py motion2video_mesh):
+        # verts are camera-space (y down), default oblique view would show
+        # the body lying flat
+        ax.view_init(elev=-90, azim=-90)
+        try:
+            ax.set_proj_type("ortho")
+        except Exception:
+            pass
         v = verts[t]
         if faces is not None:
             ax.plot_trisurf(v[:, 0], v[:, 1], v[:, 2], triangles=faces,
