@@ -30,7 +30,7 @@ A100_REFERENCE_CLIPS_PER_SEC = 120.0
 # forward FLOPs per 243-frame clip at the flagship geometry (see docstring)
 FWD_GFLOP_PER_CLIP = 370.0
 # measured achievable ceilings on this chip (tools/probe_peak.py,
-# in-jit chained): bf16 matmul 115.5 TFLOP/s, int8 164 TOPS, HBM 575 GB/s
+# in-jit chained): bf16 matmul 115.5 TFLOP/s, int8 164 TOPS, HBM 298 GB/s
 CHIP_BF16_TFLOPS = 115.5
 
 

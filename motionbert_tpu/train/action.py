@@ -227,12 +227,14 @@ def train_with_config(args, opts):
 
     train_step = make_action_train_step(model)
     print(f"INFO: Training on {len(train_loader)} batches")
+    print_freq = int(getattr(opts, "print_freq", 100) or 100)
+    n_batches = len(train_loader)
     for epoch in range(st, args.epochs):
         print(f"Training epoch {epoch}.")
         losses = AverageMeter()
         top1 = AverageMeter()
         top5m = AverageMeter()
-        for batch_input, batch_gt in train_loader:
+        for idx, (batch_input, batch_gt) in enumerate(train_loader):
             rng, sub = jax.random.split(rng)
             bi, bg = maybe_shard_batch(
                 (jnp.asarray(batch_input), jnp.asarray(batch_gt)), mesh)
@@ -240,6 +242,10 @@ def train_with_config(args, opts):
             losses.update(float(m["loss"]), len(batch_input))
             top1.update(float(m["top1"]), len(batch_input))
             top5m.update(float(m["top5"]), len(batch_input))
+            if (idx + 1) % print_freq == 0:  # reference train_action.py:189
+                print(f"Epoch: [{epoch}][{idx + 1}/{n_batches}]\t"
+                      f"Loss {losses.val:.4f} ({losses.avg:.4f})\t"
+                      f"Acc@1 {top1.avg:.2f}", flush=True)
         test_loss, test_top1, test_top5 = validate(
             test_loader, model, state.params, state.extra_vars, mesh=mesh)
         print(f"[{epoch + 1}] loss {losses.avg:.4f} train_top1 {top1.avg:.2f} "

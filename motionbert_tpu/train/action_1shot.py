@@ -200,15 +200,20 @@ def train_with_config(args, opts):
     train_step = make_supcon_train_step(
         model, args.get("hidden_dim", 2048), args.get("temp", 0.1))
     print(f"INFO: Training on {len(train_loader)} batches")
+    print_freq = int(getattr(opts, "print_freq", 100) or 100)
+    n_batches = len(train_loader)
     for epoch in range(st, args.epochs):
         print(f"Training epoch {epoch}.")
         losses = AverageMeter()
-        for batch_input, batch_gt in train_loader:
+        for idx, (batch_input, batch_gt) in enumerate(train_loader):
             rng, sub = jax.random.split(rng)
             bi, bg = maybe_shard_batch(
                 (jnp.asarray(batch_input), jnp.asarray(batch_gt)), mesh)
             state, loss = train_step(state, bi, bg, sub)
             losses.update(float(loss), len(batch_input))
+            if (idx + 1) % print_freq == 0:  # ref train_action_1shot.py:189
+                print(f"Epoch: [{epoch}][{idx + 1}/{n_batches}]\t"
+                      f"Loss {losses.val:.4f} ({losses.avg:.4f})", flush=True)
         acc = validate_1shot(anchor_loader, test_loader, model, state.params,
                              mesh=mesh)
         print(f"[{epoch + 1}] supcon {losses.avg:.4f} 1nn_acc {acc:.4f}")

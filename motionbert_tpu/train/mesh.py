@@ -281,8 +281,11 @@ def train_with_config(args, opts):
     train_step = make_mesh_train_step(model, lambdas,
                                       args.get("loss_type", "L1"))
 
+    print_freq = int(getattr(opts, "print_freq", 100) or 100)
+
     def run_train(state, rng, loader, losses):
-        for batch_input, batch_gt in loader:
+        n_batches = len(loader)
+        for idx, (batch_input, batch_gt) in enumerate(loader):
             rng, sub = jax.random.split(rng)
             bi, bg = maybe_shard_batch(
                 (jnp.asarray(batch_input),
@@ -291,6 +294,10 @@ def train_with_config(args, opts):
             for k, v in terms.items():
                 losses.setdefault(k, AverageMeter()).update(
                     float(v), batch_input.shape[0])
+            if (idx + 1) % print_freq == 0:  # reference train_mesh.py:206
+                tm = losses.get("total")
+                print(f"[{idx + 1}/{n_batches}]\t"
+                      f"loss {tm.val:.4f} ({tm.avg:.4f})", flush=True)
         return state, rng
 
     for epoch in range(st, args.epochs):

@@ -30,7 +30,6 @@ def run_gate(config, checkpoint, published, tol):
     from motionbert_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax
     import jax.numpy as jnp
 
     from motionbert_tpu.core.checkpoint import (
@@ -48,8 +47,6 @@ def run_gate(config, checkpoint, published, tol):
         params = load_torch_checkpoint(checkpoint)["params"]
     else:
         params = load_checkpoint(checkpoint)["params"]
-
-    import jax.numpy as jnp
 
     # the <=1mm gate is a PRECISION check: force fp32 compute (the factory
     # defaults to bf16 on TPU for training/serving throughput)

@@ -70,12 +70,23 @@ if __name__ == "__main__":
 
     # --- HBM bandwidth: y = y * c over 128 MB, chained (read+write per iter)
     m = 64 * 1024 * 1024  # elements, bf16 -> 128 MB
+    # alternate one-ulp-up / one-ulp-down factors: bfloat16(1.0001) rounds
+    # to exactly 1.0 and XLA deletes the whole chain (verified in HLO —
+    # the probe then times a no-op); the pair keeps y bounded while no
+    # factor is algebraically removable
+    up = jnp.bfloat16(1.0078125)      # 1 + 2^-7, one bf16 ulp above 1
+    down = jnp.bfloat16(0.9921875)    # 1 - 2^-7
 
     @jax.jit
     def g(y):
-        for _ in range(INNER):
-            y = y * jnp.bfloat16(1.0001)
-        return y
+        # fori_loop, not an unrolled chain: XLA fuses unrolled elementwise
+        # ops into ONE kernel (one read + one write total), which would
+        # measure fusion, not bandwidth; the loop body materializes y in
+        # HBM every iteration
+        def body(i, y):
+            return y * jnp.where(i % 2 == 0, up, down)
+
+        return jax.lax.fori_loop(0, INNER, body, y)
 
     t = timeit(g, jnp.ones((m,), jnp.bfloat16))
     out["hbm_gbps"] = round(INNER * 2 * m * 2 / t / 1e9, 1)

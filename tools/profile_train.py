@@ -89,13 +89,15 @@ def main():
     out["fwd_bwd"] = {"ms": round(sec * 1e3, 1),
                       "clips_per_s": round(B / sec, 1)}
 
-    # 3/4. real loss + full step
+    # 3/4. real loss + full step (flip_aug=True: shipped pose3d configs
+    # set flip: true, so the profiled step must include the on-device
+    # flip branch the trainer runs)
     state = TrainState.create(model.apply, params, make_adamw(5e-4, 0.01))
     step = make_train_step(
         model, dict(lambda_scale=0.5, lambda_3d_velocity=20.0, lambda_lv=0.0,
                     lambda_lg=0.0, lambda_a=0.0, lambda_av=0.0),
         rootrel=True, no_conf=False, use_mask=False, use_noise=False,
-        noise_params=None)
+        noise_params=None, flip_aug=True)
 
     def one(carry):
         st, r = carry

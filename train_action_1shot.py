@@ -26,7 +26,7 @@ def parse_args():
                         metavar="FILENAME", help="checkpoint to resume")
     parser.add_argument("-e", "--evaluate", default="", type=str,
                         metavar="FILENAME", help="checkpoint to evaluate")
-    parser.add_argument("-freq", "--print_freq", default=100)
+    parser.add_argument("-freq", "--print_freq", type=int, default=100)
     parser.add_argument("-ms", "--selection", default="best_epoch.ckpt",
                         type=str, metavar="FILENAME",
                         help="checkpoint to finetune")
