@@ -233,6 +233,34 @@ def bench_mesh_training(iters=2):
     return B / sec
 
 
+def _verify_kernels_bounded(timeout_s: float) -> dict:
+    """Real-chip fused-vs-fp32 kernel parity on the kernels the model
+    actually runs (the pair kernels contain the attention/MLP blocks; the
+    full six-kernel sweep lives in the standalone tool). Runs in a
+    SUBPROCESS with a hard time budget: on the shared tunneled chip the
+    compile service occasionally degrades to minutes per program, and the
+    headline throughput metric must still land inside the driver's bench
+    window. A timeout reports honestly instead of failing the run;
+    completed compiles persist in the cache so the next run finishes it."""
+    import os
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join("tools", "verify_kernels.py"),
+             "--hot-path"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        if proc.returncode == 0:
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        return {"status": f"FAIL rc={proc.returncode}",
+                "stderr_tail": proc.stderr[-400:]}
+    except subprocess.TimeoutExpired:
+        return {"status": "skipped (compile-service budget exceeded; "
+                          "rerun bench for the cached result)"}
+
+
 def main():
     from motionbert_tpu.core.cache import enable_compilation_cache
 
@@ -243,14 +271,13 @@ def main():
     from motionbert_tpu.models.dstformer import DSTformer
     from motionbert_tpu.models.factory import FLAGSHIP_CONFIG
 
+    import os
     import sys
-    sys.path.insert(0, "tools")
-    from verify_kernels import HOT_PATH_CHECKS, verify
 
-    # real-chip fused-vs-fp32 kernel parity on the kernels the model
-    # actually runs (the pair kernels contain the attention/MLP blocks);
-    # the full six-kernel sweep lives in the standalone tool
-    parity = verify(batch=2, checks=HOT_PATH_CHECKS)
+    # soft wall-clock budget for the whole bench (the driver's window);
+    # throughput/training measure first, kernel parity gets the remainder
+    t_start = time.time()
+    budget = float(os.environ.get("MOTIONBERT_BENCH_BUDGET", 540))
 
     model = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas",
                       **FLAGSHIP_CONFIG)
@@ -260,6 +287,9 @@ def main():
     best_batch, best = max(infer.items(), key=lambda kv: kv[1])
     latency_ms = bench_latency_batch1(model, variables)
     train_cps = bench_training()
+
+    parity = _verify_kernels_bounded(
+        max(60.0, budget - (time.time() - t_start)))
 
     # --all-tasks: also measure the action and mesh train steps at their
     # shipped configs (not in the default run to keep the driver's bench

@@ -152,4 +152,8 @@ if __name__ == "__main__":
     from motionbert_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    print(json.dumps(verify()))
+    checks = ALL_CHECKS
+    if "--hot-path" in sys.argv:  # bench.py's bounded in-run verification
+        checks = HOT_PATH_CHECKS
+    batch = 2 if "--hot-path" in sys.argv else 4
+    print(json.dumps(verify(batch=batch, checks=checks)))
