@@ -174,10 +174,11 @@ def bench_action_training(iters=2):
 
 
 def bench_mesh_training(iters=2):
-    """Mesh train step at the pw3d config (batch 32, 16-frame clips,
-    rot6d head + on-device SMPL LBS). The SMPL tensors are random at the
-    REAL topology (6890 vertices, 24 joints) — the committed synthetic
-    model is 128-vertex, which would understate the LBS cost ~50x."""
+    """Mesh train step at the pw3d config (its shipped batch_size,
+    16-frame clips, rot6d head + on-device SMPL LBS). The SMPL tensors
+    are random at the REAL topology (6890 vertices, 24 joints) — the
+    committed synthetic model is 128-vertex, which would understate the
+    LBS cost ~50x."""
     import jax
     import jax.numpy as jnp
 
@@ -204,7 +205,7 @@ def bench_mesh_training(iters=2):
         mean_pose=np.tile(np.asarray([1, 0, 0, 0, 1, 0], np.float32), 24),
         mean_shape=np.zeros(10, np.float32))
     model = build_mesh_model(args, smpl)
-    B, T = 32, args.clip_len
+    B, T = args.batch_size, args.clip_len  # the config's shipped batch
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, T, 17, 3)))
     extra = {k: v for k, v in variables.items() if k != "params"}
     state = TrainState.create(
@@ -213,10 +214,9 @@ def bench_mesh_training(iters=2):
                              args.weight_decay), extra_vars=extra)
     # strict access: a missing lambda key should fail loudly like
     # the reference's args.lambda_* attribute reads
-    lambdas = {k: args[k] for k in
-               ("lambda_3d", "lambda_scale", "lambda_3dv", "lambda_lv",
-                "lambda_lg", "lambda_a", "lambda_av", "lambda_pose",
-                "lambda_shape", "lambda_norm")}
+    from motionbert_tpu.losses.mesh import LAMBDA_KEYS
+
+    lambdas = {k: args[k] for k in LAMBDA_KEYS}
     step = make_mesh_train_step(model, lambdas, args.get("loss_type", "L1"))
     inp = jnp.asarray(rs.uniform(-1, 1, (B, T, 17, 3)), jnp.float32)
     gt = {"theta": jnp.asarray(rs.randn(B, T, 82) * 0.2, jnp.float32),

@@ -176,12 +176,16 @@ class ClipStoreDataset3D:
             inputs[..., 2] = 1.0
         elif self.data_split == "test" and self.gt_2d:
             # MotionDataset3D's test branch (datasets.py): evaluate on GT
-            # xy with confidence 1 instead of detector 2D
-            inputs = inputs.copy()
+            # xy with confidence 1 instead of detector 2D. Built from the
+            # labels so labels-only stores (data_input=None) work too.
+            inputs = np.zeros_like(labels)
             inputs[..., :2] = labels[..., :2]
             inputs[..., 2] = 1.0
         elif inputs is None:
-            raise ValueError("store has no input stream and synthetic=False")
+            raise ValueError(
+                "store has no input stream and no synthetic/gt_2d "
+                f"substitution applies (split={self.data_split!r}, "
+                f"synthetic={self.synthetic}, gt_2d={self.gt_2d})")
         return inputs, labels
 
     def get_batch(self, indices):

@@ -34,23 +34,34 @@ class EpochSeededRNG:
     The threaded BatchLoader runs __getitem__ on several threads at once;
     a shared RandomState would interleave draws scheduling-dependently
     (and legacy RandomState is not thread-safe). Each item instead derives
-    a private RandomState from (seed, epoch, index): reproducible
-    regardless of worker scheduling, yet varying across epochs
-    (BatchLoader calls set_epoch at the start of every iteration). The
-    reference gets the equivalent guarantee from per-process DataLoader
-    workers with deterministic per-worker seeding (train.py:219-240).
+    a private RandomState from hash(seed, epoch, index): reproducible
+    regardless of worker scheduling, yet varying across epochs. The
+    trainers pass the TRUE epoch index through BatchLoader.set_epoch so a
+    resumed run draws the same augmentations the uninterrupted run would
+    have; _seed defaults to 0, mirroring the reference's fixed
+    np.random.seed(0) dataset ctors (dataset_motion_3d.py:16). The
+    reference gets its thread-equivalent guarantee from per-process
+    DataLoader workers with deterministic seeding (train.py:219-240).
     """
 
     _seed = 0
     _epoch = 0
 
+    def set_seed(self, seed: int):
+        self._seed = int(seed)
+
     def set_epoch(self, epoch: int):
         self._epoch = int(epoch)
 
     def item_rng(self, index: int) -> np.random.RandomState:
-        return np.random.RandomState(
-            (1000003 * self._seed + 10007 * self._epoch + index)
-            % (2 ** 32))
+        # boost-style hash_combine, NOT a linear combination: a stride
+        # smaller than the dataset would alias (epoch, index+stride) with
+        # (epoch+1, index) and replay most augmentation draws
+        h = self._seed & 0xFFFFFFFF
+        for v in (self._epoch, int(index)):
+            h ^= (v + 0x9E3779B9 + ((h << 6) & 0xFFFFFFFF) + (h >> 2)) \
+                & 0xFFFFFFFF
+        return np.random.RandomState(h & 0xFFFFFFFF)
 
 
 class MotionDataset3D(EpochSeededRNG):
@@ -207,6 +218,13 @@ class BatchLoader:
         self.sampler = sampler  # iterable of indices (overrides shuffle)
         self.rng = np.random.RandomState(seed)
         self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Pin the augmentation epoch for the NEXT iteration. Trainers
+        call this with their true epoch index so resumed runs draw the
+        same per-item augmentations; without it, epochs count from 0 at
+        each loader lifetime."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)

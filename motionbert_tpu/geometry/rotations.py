@@ -176,6 +176,19 @@ def flip_thetas_np(thetas):
     return flipped[..., SMPL_FLIP_PERM, :]
 
 
+def f_normalize(v, axis=-1, eps=1e-12):
+    """torch F.normalize semantics with a NaN-free backward.
+
+    jnp.linalg.norm has a NaN gradient at exactly 0 that an eps clamp does
+    NOT block (CLAUDE.md invariant); the sum-square/double-where form
+    keeps every gradient finite, and the eps denominator clamp makes a
+    zero vector map to zero like torch. The ONE home for this idiom —
+    callers (SupCon embed head, SPIN rot6d) must not re-roll it."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=True)
+    n = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    return v / jnp.maximum(jnp.where(sq > 0, n, 0.0), eps)
+
+
 def rot6d_to_rotmat_spin(x):
     """SPIN's rot6d variant (reference utils_mesh.py:294-313): F.normalize
     (eps=1e-12 denominator clamp) before Gram-Schmidt — a degenerate
@@ -184,15 +197,9 @@ def rot6d_to_rotmat_spin(x):
     x = x.reshape(-1, 3, 2)
     a1 = x[:, :, 0]
     a2 = x[:, :, 1]
-
-    def _fnormalize(v):  # torch F.normalize semantics, NaN-free grad
-        sq = jnp.sum(v * v, axis=-1, keepdims=True)
-        n = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
-        return v / jnp.maximum(jnp.where(sq > 0, n, 0.0), 1e-12)
-
-    b1 = _fnormalize(a1)
+    b1 = f_normalize(a1)
     inp = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = _fnormalize(inp)
+    b2 = f_normalize(inp)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1).reshape(shape + (3, 3))
 

@@ -54,12 +54,18 @@ def mesh_loss_terms(smpl_output: dict, data_gt: dict, loss_type: str = "L1"):
     }
 
 
+# the 10 required loss weights (reference train_mesh.py:179-189)
+LAMBDA_KEYS = ("lambda_3d", "lambda_scale", "lambda_3dv", "lambda_lv",
+               "lambda_lg", "lambda_a", "lambda_av", "lambda_pose",
+               "lambda_shape", "lambda_norm")
+
+
 def mesh_total_loss(smpl_output, data_gt, lambdas, loss_type="L1"):
     """Weighted sum (reference train_mesh.py:179-189). Returns (total, terms).
 
-    Every lambda key is REQUIRED — a missing/misspelled key raises like
-    the reference's attribute access does, instead of silently training
-    with that term weighted 0."""
+    Every LAMBDA_KEYS entry is REQUIRED — a missing/misspelled key raises
+    like the reference's attribute access does, instead of silently
+    training with that term weighted 0."""
     terms = mesh_loss_terms(smpl_output, data_gt, loss_type)
     total = (
         lambdas["lambda_3d"] * terms["loss_3d_pos"]

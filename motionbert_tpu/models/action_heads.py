@@ -64,12 +64,10 @@ class ActionHeadEmbed(nn.Module):
         drop = nn.Dropout(self.dropout_ratio)
         feat = _pool_feat(feat, drop, deterministic)
         feat = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(feat)
-        # F.normalize semantics with a NaN-free backward: jnp.linalg.norm
-        # has a NaN grad at exactly 0 that the eps clamp does not block
-        # (CLAUDE.md invariant) — and this sits on the SupCon train path
-        sq = jnp.sum(feat * feat, axis=-1, keepdims=True)
-        norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
-        return feat / jnp.maximum(jnp.where(sq > 0, norm, 0.0), 1e-12)
+        # NaN-free F.normalize (this sits on the SupCon train path)
+        from motionbert_tpu.geometry.rotations import f_normalize
+
+        return f_normalize(feat)
 
 
 class ActionNet(nn.Module):

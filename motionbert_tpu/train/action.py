@@ -231,6 +231,7 @@ def train_with_config(args, opts):
     n_batches = len(train_loader)
     for epoch in range(st, args.epochs):
         print(f"Training epoch {epoch}.")
+        train_loader.set_epoch(epoch)  # resume-safe augmentation epoch
         losses = AverageMeter()
         top1 = AverageMeter()
         top5m = AverageMeter()

@@ -204,6 +204,7 @@ def train_with_config(args, opts):
     n_batches = len(train_loader)
     for epoch in range(st, args.epochs):
         print(f"Training epoch {epoch}.")
+        train_loader.set_epoch(epoch)  # resume-safe augmentation epoch
         losses = AverageMeter()
         for idx, (batch_input, batch_gt) in enumerate(train_loader):
             rng, sub = jax.random.split(rng)

@@ -99,19 +99,25 @@ def validate(test_loader, model, params, extra_vars, smpl_model, args,
 
     eval_step = make_mesh_eval_step(model, smpl_model,
                                     flip_tta=args.get("flip", False))
-    # jitted (and memoized: one compile per config across epochs) — the
-    # eager per-op path paid ms-scale dispatch RPC per op per batch on the
-    # remote-compile TPU backend
-    key = ("val_loss", id(args))
+    # jitted (and memoized: one compile per distinct lambda/loss-type
+    # combination across epochs) — the eager per-op path paid ms-scale
+    # dispatch RPC per op per batch on the remote-compile TPU backend.
+    # Keyed by the VALUES (not id(args)): the weights are baked into the
+    # trace, so mutating args must produce a fresh compile, never a stale
+    # cached closure.
+    from motionbert_tpu.losses.mesh import LAMBDA_KEYS
+
+    lambdas = {k: float(args[k]) for k in LAMBDA_KEYS}
+    loss_type = args.get("loss_type", "L1")
+    key = ("val_loss", tuple(sorted(lambdas.items())), loss_type)
     if key in _EVAL_CACHE:
-        val_loss = _EVAL_CACHE[key][1]
+        val_loss = _EVAL_CACHE[key]
     else:
         @jax.jit
         def val_loss(out, gt):
-            return mesh_total_loss(out, gt, args,
-                                   args.get("loss_type", "L1"))
+            return mesh_total_loss(out, gt, lambdas, loss_type)
 
-        _EVAL_CACHE[key] = (args, val_loss)
+        _EVAL_CACHE[key] = val_loss
     losses = AverageMeter()
     terms_meters: dict = {}
     results = {"kp_3d": [], "verts": [], "kp_3d_gt": [], "verts_gt": []}
@@ -274,10 +280,9 @@ def train_with_config(args, opts):
 
     # strict access: a missing lambda key should fail loudly like
     # the reference's args.lambda_* attribute reads
-    lambdas = {k: args[k] for k in
-               ("lambda_3d", "lambda_scale", "lambda_3dv", "lambda_lv",
-                "lambda_lg", "lambda_a", "lambda_av", "lambda_pose",
-                "lambda_shape", "lambda_norm")}
+    from motionbert_tpu.losses.mesh import LAMBDA_KEYS
+
+    lambdas = {k: args[k] for k in LAMBDA_KEYS}
     train_step = make_mesh_train_step(model, lambdas,
                                       args.get("loss_type", "L1"))
 
@@ -302,6 +307,8 @@ def train_with_config(args, opts):
 
     for epoch in range(st, args.epochs):
         print(f"Training epoch {epoch}.")
+        for train_ld, _ in loaders.values():
+            train_ld.set_epoch(epoch)  # resume-safe augmentation epoch
         losses: dict = {}
         test_mpjpe = None
         if "h36m" in loaders and epoch < args.get("warmup_h36m", args.epochs):

@@ -440,9 +440,12 @@ def train_with_config(args, opts):
         print(f"Training epoch {epoch}.")
         start = time.time()
         losses: dict = {}
+        # true epoch index -> per-item augmentation RNG (resume-safe)
+        train_loader.set_epoch(epoch)
         # curriculum: 2D datasets join after pretrain_3d_curriculum epochs
         if loaders_2d and epoch >= args.get("pretrain_3d_curriculum", 0):
             for name, loader2d, has_gt in loaders_2d:
+                loader2d.set_epoch(epoch)
                 state, rng = run_epoch(state, rng, loader2d, losses,
                                        has_3d=False, has_gt=has_gt)
         state, rng = run_epoch(state, rng, train_loader, losses,

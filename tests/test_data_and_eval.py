@@ -211,3 +211,36 @@ def test_item_rng_is_per_index_and_per_epoch():
     np.testing.assert_array_equal(e1a, e1b)  # scheduling-independent
     e2 = np.concatenate([b[0] for b in l1])  # second epoch: new draws
     assert not np.array_equal(e1a, e2)
+
+
+def test_batchloader_set_epoch_pins_augmentation_epoch():
+    """Trainers pass the TRUE epoch through loader.set_epoch so a resumed
+    run draws the same augmentations; without pinning, epochs count from
+    the loader's own lifetime. Also guards the hash mixing: a linear
+    (epoch, index) seed would alias across epochs at dataset-size strides."""
+    from motionbert_tpu.data.datasets import BatchLoader, EpochSeededRNG
+
+    class DS(EpochSeededRNG):
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return np.float32(self.item_rng(i).random()), np.float32(i)
+
+    ds = DS()
+    loader = BatchLoader(ds, batch_size=8)
+    loader.set_epoch(7)  # as a trainer resuming at epoch 7 would
+    resumed = np.concatenate([b[0] for b in loader])
+    ds2 = DS()
+    ds2.set_epoch(7)
+    direct = np.array([ds2.item_rng(i).random() for i in range(8)],
+                      np.float32)
+    np.testing.assert_array_equal(resumed, direct)
+
+    # no structured aliasing between adjacent epochs at any small stride
+    ds3 = DS()
+    ds3.set_epoch(0)
+    a = [ds3.item_rng(i).random() for i in (0, 1, 10007, 10008)]
+    ds3.set_epoch(1)
+    b = [ds3.item_rng(i).random() for i in (0, 1, 10007, 10008)]
+    assert not np.isclose(a, b).any()

@@ -100,9 +100,10 @@ DEVICE_CPS_DEFAULT = {
     # device consumption rates measured on the dev chip with the fused
     # pair-backward path (bench.py --all-tasks): pose3d 64.9 clips/s at
     # B=32; action 28.6 samples/s (2-person 243-frame clips, remat);
-    # mesh 307 clips/s (16-frame clips, on-device 6890-vertex LBS)
+    # mesh 445 clips/s (B=128 shipped config, 16-frame clips, on-device
+    # 6890-vertex LBS)
     "action": 28.6,
-    "mesh": 307.0,
+    "mesh": 445.0,
     "pose3d": 64.9,
 }
 
