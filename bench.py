@@ -10,7 +10,7 @@ Timing methodology: ITERS forwards are chained INSIDE one jit (each consumes
 the previous output, lax.fori_loop) and the window ends with a host fetch —
 asynchronous dispatch cannot fake throughput, and the axon tunnel's ms-scale
 per-dispatch RPC overhead is amortized away (tools/probe_peak.py showed that
-overhead corrupts short per-call windows). Best-of-3 windows.
+overhead corrupts short per-call windows). Best-of-2 windows.
 
 Baseline (vs_baseline denominator): the reference is PyTorch eager fp32 on
 A100; no throughput number is published (BASELINE.md). We estimate the A100
@@ -30,44 +30,66 @@ A100_REFERENCE_CLIPS_PER_SEC = 120.0
 # forward FLOPs per 243-frame clip at the flagship geometry (see docstring)
 FWD_GFLOP_PER_CLIP = 370.0
 # measured achievable ceilings on this chip (tools/probe_peak.py,
-# in-jit chained): bf16 matmul 115.5 TFLOP/s, int8 164 TOPS, HBM 298 GB/s
-CHIP_BF16_TFLOPS = 115.5
+# in-jit chained, host-fetch windows): bf16 matmul 118.1 TFLOP/s,
+# int8 173.8 TOPS, HBM 320.7 GB/s
+CHIP_BF16_TFLOPS = 118.1
 
 
-def _chain(fn, x0, iters):
-    """jit(fori_loop) of a self-chaining fn; returns seconds per iteration."""
+def _chain(fn, aux, x0, iters, windows=2):
+    """jit(fori_loop) of a self-chaining fn(aux, x) -> x; returns seconds
+    per iteration.
+
+    aux (params/batch trees) is a jit ARGUMENT, never a closure: closed-over
+    arrays embed as constants in the serialized executable, which makes the
+    tunneled compile service re-upload ~100MB of weights per program —
+    measured minutes of first-load per phase vs seconds with arguments.
+
+    windows=2 (best-of-2 after the warm run): each extra window costs a
+    full program execution; window-to-window variance of the chained
+    in-jit timing is <1%."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, iters, lambda i, y: fn(y), x)
+    def run(a, x):
+        return jax.lax.fori_loop(0, iters, lambda i, y: fn(a, y), x)
 
-    out = run(x0)
-    jax.block_until_ready(out)  # compile + warm
+    def fetch(out):
+        # HOST FETCH of one element closes the window: on the axon backend
+        # block_until_ready can return before the remote execution finishes
+        # (observed 0.5ms "windows" for seconds of compute); a device->host
+        # read reliably waits, and the serialized stream means it also
+        # drains any queued predecessor work
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.ravel(leaf)[0].astype(jnp.float32))
+
+    fetch(run(aux, x0))  # compile + warm
     best = float("inf")
-    for _ in range(3):
+    for _ in range(windows):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x0))
+        fetch(run(aux, x0))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
 
-def bench_inference(model, variables, batches=(128, 512), iters=None):
+def bench_inference(model, variables, batches=(512,), iters=None):
     """Per-batch-size chained throughput. iters scales inversely with
     batch so each timing window stays a few seconds of device compute
     (still >>1000x the per-dispatch RPC overhead) — the full sweep must
-    fit the driver's bounded bench window. Batch-1 latency is measured
-    separately (bench_latency_batch1)."""
+    fit the driver's bounded bench window, so the default measures only
+    the peak-throughput batch (512; 1024 OOMs 16G HBM); pass --full for
+    the 128-batch point too. Batch-1 latency is measured separately
+    (bench_latency_batch1)."""
     import jax
     import jax.numpy as jnp
 
-    fwd = lambda x: model.apply(variables, x)
+    fwd = lambda v, x: model.apply(v, x)
     rs = np.random.RandomState(0)
     results = {}
     for batch in batches:
         x0 = jnp.asarray(rs.uniform(-1, 1, (batch, 243, 17, 3)),
                          jnp.bfloat16)
-        sec = _chain(fwd, x0, iters or max(2, 1024 // batch))
+        sec = _chain(fwd, variables, x0, iters or max(2, 1024 // batch))
         results[batch] = batch / sec
     return results
 
@@ -81,14 +103,20 @@ def bench_latency_batch1(model, variables, n=20):
     import jax
     import jax.numpy as jnp
 
-    fwd = jax.jit(lambda x: model.apply(variables, x))
+    # weights as a jit ARGUMENT (embedded constants would bloat the
+    # serialized executable and its first load; see _chain)
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
     x = jnp.asarray(np.random.RandomState(0).uniform(-1, 1, (1, 243, 17, 3)),
                     jnp.bfloat16)
-    jax.block_until_ready(fwd(x))  # compile + warm
+
+    def fetch(y):  # host fetch closes the window (see _chain)
+        return float(jnp.ravel(y)[0].astype(jnp.float32))
+
+    fetch(fwd(variables, x))  # compile + warm
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fwd(x))
+        fetch(fwd(variables, x))
         best = min(best, time.perf_counter() - t0)
     return best * 1000.0
 
@@ -124,13 +152,14 @@ def bench_training(iters=4):
         [gt[..., :2], jnp.ones((batch, 243, 17, 1), jnp.float32)], -1)
     rng = jax.random.PRNGKey(1)
 
-    def one(carry):
+    def one(aux, carry):
+        i, g = aux
         st, r = carry
         r, sub = jax.random.split(r)
-        st, _ = step(st, inp, gt, sub)
+        st, _ = step(st, i, g, sub)
         return (st, r)
 
-    sec = _chain(one, (state, rng), iters)
+    sec = _chain(one, (inp, gt), (state, rng), iters)
     return batch / sec
 
 
@@ -163,13 +192,14 @@ def bench_action_training(iters=2):
                       jnp.float32)
     gt = jnp.asarray(rs.randint(0, args.action_classes, B))
 
-    def one(carry):
+    def one(aux, carry):
+        i, g = aux
         st, r = carry
         r, sub = jax.random.split(r)
-        st, _ = step(st, inp, gt, sub)
+        st, _ = step(st, i, g, sub)
         return (st, r)
 
-    sec = _chain(one, (state, jax.random.PRNGKey(1)), iters)
+    sec = _chain(one, (inp, gt), (state, jax.random.PRNGKey(1)), iters)
     return B / sec
 
 
@@ -223,13 +253,14 @@ def bench_mesh_training(iters=2):
           "kp_3d": jnp.asarray(rs.randn(B, T, 17, 3) * 100, jnp.float32),
           "verts": jnp.asarray(rs.randn(B, T, V, 3) * 100, jnp.float32)}
 
-    def one(carry):
+    def one(aux, carry):
+        i, g = aux
         st, r = carry
         r, sub = jax.random.split(r)
-        st, _ = step(st, inp, gt, sub)
+        st, _ = step(st, i, g, sub)
         return (st, r)
 
-    sec = _chain(one, (state, jax.random.PRNGKey(1)), iters)
+    sec = _chain(one, (inp, gt), (state, jax.random.PRNGKey(1)), iters)
     return B / sec
 
 
@@ -257,8 +288,24 @@ def _verify_kernels_bounded(timeout_s: float) -> dict:
         return {"status": f"FAIL rc={proc.returncode}",
                 "stderr_tail": proc.stderr[-400:]}
     except subprocess.TimeoutExpired:
-        return {"status": "skipped (compile-service budget exceeded; "
-                          "rerun bench for the cached result)"}
+        # fall back to the most recent completed on-chip verification,
+        # clearly labeled as such (the kernels are content-addressed by
+        # the compile cache, so a stale pass only means "as of then")
+        try:
+            import time as _time
+
+            sys.path.insert(0, "tools")
+            from verify_kernels import RESULT_CACHE
+
+            with open(RESULT_CACHE) as f:
+                prev = json.load(f)
+            age = int(_time.time() - prev.pop("verified_at_unix", 0))
+            prev["status"] = (f"pass (cached on-chip run {age}s ago; "
+                              "live run exceeded the time budget)")
+            return prev
+        except Exception:
+            return {"status": "skipped (compile-service budget exceeded; "
+                              "rerun bench for the cached result)"}
 
 
 def main():
@@ -283,7 +330,8 @@ def main():
                       **FLAGSHIP_CONFIG)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 243, 17, 3)))
 
-    infer = bench_inference(model, variables)
+    batches = (128, 512) if "--full" in sys.argv else (512,)
+    infer = bench_inference(model, variables, batches=batches)
     best_batch, best = max(infer.items(), key=lambda kv: kv[1])
     latency_ms = bench_latency_batch1(model, variables)
     train_cps = bench_training()

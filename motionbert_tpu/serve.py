@@ -201,17 +201,24 @@ class MotionBERTServer:
         self.mb = mb
         step = make_eval_step(mb.model, no_conf=False, flip_tta=flip_tta)
 
-        def lift_fn(x):
-            pred = step(mb.params, x)  # already f32
+        # params are jit ARGUMENTS, not closures: closed-over weights embed
+        # as constants in the serialized executable (~100MB at flagship),
+        # which the tunneled compile service re-uploads per program — the
+        # partial binds them OUTSIDE the trace
+        @jax.jit
+        def lift_fn(p, x):
+            pred = step(p, x)  # already f32
             return pred.at[:, :, 0, :].set(0.0) if rootrel else pred
 
-        self._lift = BatchingServer(jax.jit(lift_fn),
+        @jax.jit
+        def rep_fn(p, x):
+            return mb.model.apply({"params": p}, x,
+                                  return_rep=True).astype(jnp.float32)
+
+        self._lift = BatchingServer(lambda x: lift_fn(mb.params, x),
                                     batch_buckets, max_wait_ms)
-        self._rep = BatchingServer(
-            jax.jit(lambda x: mb.model.apply(
-                {"params": mb.params}, x,
-                return_rep=True).astype(jnp.float32)),
-            batch_buckets, max_wait_ms)
+        self._rep = BatchingServer(lambda x: rep_fn(mb.params, x),
+                                   batch_buckets, max_wait_ms)
 
     @classmethod
     def from_config(cls, config_path: str, checkpoint: Optional[str] = None,

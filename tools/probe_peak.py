@@ -12,15 +12,27 @@ import time
 import numpy as np
 
 
+def _fetch(y):
+    """Close a timing window with a HOST FETCH of one element.
+
+    On the axon backend block_until_ready can return before the remote
+    execution finishes (observed: 0.5ms 'windows' for seconds of compute);
+    only a device->host read reliably waits. The stream is serialized, so
+    fetching this window's result also drains any queued predecessor."""
+    import jax.numpy as jnp
+
+    return float(jnp.ravel(y)[0].astype(jnp.float32))
+
+
 def timeit(fn, x, reps=3):
     """Seconds per call of fn, best of reps; fn must be self-chaining."""
     x = fn(x)
-    jax.block_until_ready(x)
+    _fetch(x)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         y = fn(x)
-        jax.block_until_ready(y)
+        _fetch(y)
         best = min(best, time.perf_counter() - t0)
     return best
 

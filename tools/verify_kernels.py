@@ -147,7 +147,14 @@ def verify(batch: int = 4, frames: int = 243, joints: int = 17,
     return report
 
 
+# last successful on-chip verification, for bench.py to fall back on when
+# a live run exceeds its time budget (slow compile service)
+RESULT_CACHE = "/tmp/motionbert_kernel_parity.json"
+
+
 if __name__ == "__main__":
+    import time
+
     sys.path.insert(0, ".")
     from motionbert_tpu.core.cache import enable_compilation_cache
 
@@ -156,4 +163,11 @@ if __name__ == "__main__":
     if "--hot-path" in sys.argv:  # bench.py's bounded in-run verification
         checks = HOT_PATH_CHECKS
     batch = 2 if "--hot-path" in sys.argv else 4
-    print(json.dumps(verify(batch=batch, checks=checks)))
+    report = verify(batch=batch, checks=checks)
+    if report.get("status") == "pass":
+        try:
+            with open(RESULT_CACHE, "w") as f:
+                json.dump(dict(report, verified_at_unix=time.time()), f)
+        except OSError:
+            pass
+    print(json.dumps(report))
