@@ -98,13 +98,13 @@ def bench_pose3d(batch_size=128):
 
 DEVICE_CPS_DEFAULT = {
     # device consumption rates measured on the dev chip with the fused
-    # pair-backward path (bench.py --all-tasks): pose3d 64.9 clips/s at
+    # pair-backward path (bench.py --all-tasks): pose3d 66.0 clips/s at
     # B=32; action 28.6 samples/s (2-person 243-frame clips, remat);
-    # mesh 445 clips/s (B=128 shipped config, 16-frame clips, on-device
+    # mesh 471 clips/s (B=128 shipped config, 16-frame clips, on-device
     # 6890-vertex LBS)
-    "action": 28.6,
-    "mesh": 445.0,
-    "pose3d": 64.9,
+    "action": 28.9,
+    "mesh": 471.0,
+    "pose3d": 66.0,
 }
 
 
