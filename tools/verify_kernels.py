@@ -82,17 +82,20 @@ def verify(batch: int = 4, frames: int = 243, joints: int = 17,
         amax = float(jnp.max(jnp.abs(out_32)))
         fwd_diff = _tree_max_diff(out_f, out_r)
         fwd_vs32 = _tree_max_diff(out_f, out_32)
-        # backward: grads of a scalar projection wrt every input
+        # backward: grads of a scalar projection wrt every input. The
+        # cotangent rides as an ARGUMENT — closed-over arrays embed as
+        # executable constants the remote compile service re-uploads
         cot = jnp.asarray(rs.randn(*out_r.shape), jnp.float32)
 
         def loss(fn):
-            return lambda *a: jnp.sum(fn(*a).astype(jnp.float32) * cot)
+            return lambda c, *a: jnp.sum(fn(*a).astype(jnp.float32) * c)
 
         n = len(args)
-        grads = jax.jit(jax.grad(loss(fused_fn), argnums=tuple(range(n))))
-        g_f = grads(*args)
+        grads = jax.jit(jax.grad(loss(fused_fn),
+                                 argnums=tuple(range(1, n + 1))))
+        g_f = grads(cot, *args)
         g_32 = jax.jit(jax.grad(loss(ref_fn),
-                                argnums=tuple(range(n))))(*args32)
+                                argnums=tuple(range(1, n + 1))))(cot, *args32)
         g_amax = max(float(jnp.max(jnp.abs(g))) for g in g_32)
         bwd_diff = _tree_max_diff(g_f, g_32)
         report[name] = {"fwd_max_diff": round(fwd_diff, 5),
