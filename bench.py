@@ -294,7 +294,11 @@ def _verify_kernels_bounded(timeout_s: float) -> dict:
         try:
             import time as _time
 
-            sys.path.insert(0, "tools")
+            # absolute tools path: the subprocess above already anchors on
+            # the script's directory; the fallback must match or a bench
+            # run from outside the repo root silently degrades to "skipped"
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
             from verify_kernels import RESULT_CACHE
 
             with open(RESULT_CACHE) as f:

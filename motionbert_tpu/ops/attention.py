@@ -348,6 +348,46 @@ def _attn_rows(qkv, num_heads, scale, same_mask, out_dtype):
     return jnp.concatenate(outs, axis=-1)  # (N, C)
 
 
+def _attn_rows_flat(qkv, bb, num_heads, scale, same_mask, out_dtype):
+    """Batch-flattened attention core: qkv is (bb*N, 3C) f32 rows of bb
+    independent token groups stacked along rows. The softmax(QK^T)V core
+    stays per-(group, head) — groups must not attend across each other —
+    but the caller's projection matmuls run on the full (bb*N, C) row block,
+    which is the MXU-utilization lever: (N, C) matmuls at N=136/243 starve
+    the systolic array's pipeline, (bb*N, C) ones keep it fed."""
+    BN, C3 = qkv.shape
+    N = BN // bb
+    C = C3 // 3
+    d = C // num_heads
+    per_b = []
+    for b in range(bb):
+        rows = slice(b * N, (b + 1) * N)
+        outs = []
+        for h in range(num_heads):
+            q = qkv[rows, h * d:(h + 1) * d].astype(out_dtype)
+            k = qkv[rows, C + h * d:C + (h + 1) * d].astype(out_dtype)
+            v = qkv[rows, 2 * C + h * d:2 * C + (h + 1) * d].astype(out_dtype)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            if same_mask is not None:
+                s = jnp.where(same_mask, s, jnp.float32(-1e30))
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(_dot(p.astype(out_dtype), v).astype(out_dtype))
+        per_b.append(jnp.concatenate(outs, axis=-1))
+    return jnp.concatenate(per_b, axis=0) if bb > 1 else per_b[0]
+
+
+def _flat_valid(row_valid, bb):
+    """Tile a per-group (N, 1) row-validity mask to (bb*N, 1) flattened rows
+    (every group in a batch block shares the same token tile)."""
+    if row_valid is None:
+        return None
+    N = row_valid.shape[0]
+    return jnp.broadcast_to(row_valid[None], (bb, N, 1)).reshape(bb * N, 1)
+
+
 def _ln_rows(x, scale, bias, eps=1e-6):
     """LayerNorm over the last axis, fp32 accumulation (flax semantics)."""
     xf = x.astype(jnp.float32)

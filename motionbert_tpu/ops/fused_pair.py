@@ -34,33 +34,47 @@ import jax.numpy as jnp
 import numpy as np
 
 from motionbert_tpu.ops.attention import (
-    _attn_rows, _dot, _fused_block_xla, _ln_bwd_rows, _ln_fwd_stats,
-    _ln_rows, _on_tpu, _spatial_masks, _vmem_params)
+    _attn_rows_flat, _dot, _flat_valid, _fused_block_xla, _ln_bwd_rows,
+    _ln_fwd_stats, _ln_rows, _on_tpu, _spatial_masks, _vmem_params)
 from motionbert_tpu.ops.fused_mlp import _erf, _fused_mlp_xla
 
 
-def _pair_rows(xb, num_heads, scale, same_mask, ln1_s_ref, ln1_b_ref,
+def _pair_rows(xb, bb, num_heads, scale, same_mask, ln1_s_ref, ln1_b_ref,
                wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, ln2_s_ref,
                ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref):
-    """One token group through attention sub-block + MLP sub-block; returns
-    the (N, C) output in the compute dtype."""
+    """bb stacked token groups ((bb*N, C) rows) through attention sub-block
+    + MLP sub-block; returns the (bb*N, C) output in the compute dtype.
+
+    All projection/MLP matmuls run on the full flattened row block — one
+    (bb*N, C) matmul keeps the MXU pipeline fed where bb separate (N, C)
+    ones each stall it (N=136/243 at flagship dims); only the softmax(QK^T)V
+    core stays per-(group, head), since groups must not attend across."""
     dtype = xb.dtype
     # --- attention sub-block ---
     h = _ln_rows(xb, ln1_s_ref[0], ln1_b_ref[0]).astype(dtype)
-    qkv = _dot(h, wqkv_ref[:]) + bqkv_ref[0]            # (N, 3C) f32
-    attn = _attn_rows(qkv, num_heads, scale, same_mask, dtype)
+    qkv = _dot(h, wqkv_ref[:]) + bqkv_ref[0]            # (bb*N, 3C) f32
+    attn = _attn_rows_flat(qkv, bb, num_heads, scale, same_mask, dtype)
     y = _dot(attn, wproj_ref[:]) + bproj_ref[0] \
-        + xb.astype(jnp.float32)                        # (N, C) f32
+        + xb.astype(jnp.float32)                        # (bb*N, C) f32
     # exact parity with the two-kernel composition: the standalone MLP
     # kernel reads y from HBM in the compute dtype
     yb = y.astype(dtype)
     # --- MLP sub-block ---
     h2 = _ln_rows(yb, ln2_s_ref[0], ln2_b_ref[0]).astype(dtype)
-    z = _dot(h2, w1_ref[:]) + b1_ref[0]                 # (N, hidden) f32
+    z = _dot(h2, w1_ref[:]) + b1_ref[0]                 # (bb*N, hidden) f32
     z = 0.5 * z * (1.0 + _erf(z * np.float32(0.7071067811865476)))
     out = _dot(z.astype(dtype), w2_ref[:]) + b2_ref[0] \
         + yb.astype(jnp.float32)
     return out.astype(dtype)
+
+
+def _read_flat(x_ref, bb, row_valid_flat):
+    """(bb, N, C) block -> (bb*N, C) rows, zeroing invalid (padding) rows."""
+    bb_, N, C = x_ref.shape
+    x = x_ref[:].reshape(bb * N, C)
+    if row_valid_flat is not None:
+        x = jnp.where(row_valid_flat, x, 0)
+    return x
 
 
 def _pair_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
@@ -70,14 +84,13 @@ def _pair_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
     N = x_ref.shape[1]
     row_valid, same_mask = (None, None) if mode != "spatial" else \
         _spatial_masks(N, num_joints, total_tokens)
-    for b in range(bb):
-        xb = x_ref[b]  # (N, C)
-        if row_valid is not None:
-            xb = jnp.where(row_valid, xb, 0)
-        o_ref[b] = _pair_rows(
-            xb, num_heads, scale, same_mask, ln1_s_ref, ln1_b_ref, wqkv_ref,
-            bqkv_ref, wproj_ref, bproj_ref, ln2_s_ref, ln2_b_ref, w1_ref,
-            b1_ref, w2_ref, b2_ref).astype(o_ref.dtype)
+    rv = _flat_valid(row_valid, bb)
+    xb = _read_flat(x_ref, bb, rv)
+    out = _pair_rows(
+        xb, bb, num_heads, scale, same_mask, ln1_s_ref, ln1_b_ref, wqkv_ref,
+        bqkv_ref, wproj_ref, bproj_ref, ln2_s_ref, ln2_b_ref, w1_ref,
+        b1_ref, w2_ref, b2_ref)
+    o_ref[:] = out.reshape(x_ref.shape).astype(o_ref.dtype)
 
 
 def _gated_pair_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
@@ -93,25 +106,24 @@ def _gated_pair_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
     N = x_ref.shape[1]
     row_valid, same_mask = (None, None) if mode != "spatial" else \
         _spatial_masks(N, num_joints, total_tokens)
-    for b in range(bb):
-        xb = x_ref[b]
-        if row_valid is not None:
-            xb = jnp.where(row_valid, xb, 0)
-        out = _pair_rows(
-            xb, num_heads, scale, same_mask, ln1_s_ref, ln1_b_ref, wqkv_ref,
-            bqkv_ref, wproj_ref, bproj_ref, ln2_s_ref, ln2_b_ref, w1_ref,
-            b1_ref, w2_ref, b2_ref)
-        other = other_ref[b]
-        s = (_dot(other, wga_ref[:]) + _dot(out, wgb_ref[:])
-             + bg_ref[0].astype(jnp.float32))               # (N, 2) f32
-        s0, s1 = s[:, 0:1], s[:, 1:2]
-        m = jnp.maximum(s0, s1)
-        e0 = jnp.exp(s0 - m)
-        e1 = jnp.exp(s1 - m)
-        inv = 1.0 / (e0 + e1)
-        a0 = (e0 * inv).astype(out.dtype)
-        a1 = (e1 * inv).astype(out.dtype)
-        o_ref[b] = (other * a0 + out * a1).astype(o_ref.dtype)
+    rv = _flat_valid(row_valid, bb)
+    xb = _read_flat(x_ref, bb, rv)
+    out = _pair_rows(
+        xb, bb, num_heads, scale, same_mask, ln1_s_ref, ln1_b_ref, wqkv_ref,
+        bqkv_ref, wproj_ref, bproj_ref, ln2_s_ref, ln2_b_ref, w1_ref,
+        b1_ref, w2_ref, b2_ref)
+    other = _read_flat(other_ref, bb, None)
+    s = (_dot(other, wga_ref[:]) + _dot(out, wgb_ref[:])
+         + bg_ref[0].astype(jnp.float32))               # (bb*N, 2) f32
+    s0, s1 = s[:, 0:1], s[:, 1:2]
+    m = jnp.maximum(s0, s1)
+    e0 = jnp.exp(s0 - m)
+    e1 = jnp.exp(s1 - m)
+    inv = 1.0 / (e0 + e1)
+    a0 = (e0 * inv).astype(out.dtype)
+    a1 = (e1 * inv).astype(out.dtype)
+    o_ref[:] = (other * a0 + out * a1).reshape(o_ref.shape).astype(
+        o_ref.dtype)
 
 
 def _pick_pair_batch_block(B, N, C, hidden, itemsize, gated: bool = False,
@@ -235,7 +247,7 @@ def _dot_at(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _pair_bwd_body(b, num_heads, scale, same_mask, row_valid, gated,
+def _pair_bwd_body(bb, num_heads, scale, same_mask, row_valid, gated,
                    x_ref, other_ref, g_ref,
                    ln1_s_ref, ln1_b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                    bproj_ref, ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref,
@@ -244,36 +256,40 @@ def _pair_bwd_body(b, num_heads, scale, same_mask, row_valid, gated,
                    dbqkv_ref, dwproj_ref, dbproj_ref, dls2_ref, dlb2_ref,
                    dw1_ref, db1_ref, dw2_ref, db2_ref, dwga_ref, dwgb_ref,
                    dbg_ref, qkv_scr, dqkv_scr, attn_scr, p_scr):
+    """Whole-block pair backward on (bb*N, C) flattened rows: every
+    projection/MLP/weight-grad matmul runs once on the full row block (the
+    MXU-utilization lever — see _pair_rows); only softmax(QK^T)V and its
+    gradient loop per (group, head)."""
+    N = x_ref.shape[1]
     C = x_ref.shape[-1]
     d = C // num_heads
-    if row_valid is not None:
-        xb = jnp.where(row_valid, x_ref[b], 0)
-        gb = jnp.where(row_valid, g_ref[b], 0)
-    else:
-        xb = x_ref[b]
-        gb = g_ref[b]
+    rv = _flat_valid(row_valid, bb)
+    xb = _read_flat(x_ref, bb, rv)
+    gb = _read_flat(g_ref, bb, rv)
     dtype = xb.dtype
 
     # ---- attention sub-block forward recompute (qkv/p/attn kept in VMEM
     # scratch for the backward passes below) ----
     xhat1, rstd1, h1f = _ln_fwd_stats(xb, ln1_s_ref, ln1_b_ref)
     h1 = h1f.astype(dtype)
-    qkv_scr[:] = _dot(h1, wqkv_ref[:]) + bqkv_ref[0]         # (N, 3C) f32
-    for h in range(num_heads):
-        qs = slice(h * d, (h + 1) * d)
-        ks = slice(C + h * d, C + (h + 1) * d)
-        vs = slice(2 * C + h * d, 2 * C + (h + 1) * d)
-        q = qkv_scr[:, qs].astype(dtype)
-        k = qkv_scr[:, ks].astype(dtype)
-        v = qkv_scr[:, vs].astype(dtype)
-        s = _dot_t(q, k) * scale
-        if same_mask is not None:
-            s = jnp.where(same_mask, s, jnp.float32(-1e30))
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)           # (N, N) f32
-        p_scr[h] = p
-        attn_scr[:, qs] = _dot(p.astype(dtype), v).astype(dtype)
+    qkv_scr[:] = _dot(h1, wqkv_ref[:]) + bqkv_ref[0]         # (bb*N, 3C) f32
+    for b in range(bb):
+        rows = slice(b * N, (b + 1) * N)
+        for h in range(num_heads):
+            qs = slice(h * d, (h + 1) * d)
+            ks = slice(C + h * d, C + (h + 1) * d)
+            vs = slice(2 * C + h * d, 2 * C + (h + 1) * d)
+            q = qkv_scr[rows, qs].astype(dtype)
+            k = qkv_scr[rows, ks].astype(dtype)
+            v = qkv_scr[rows, vs].astype(dtype)
+            s = _dot_t(q, k) * scale
+            if same_mask is not None:
+                s = jnp.where(same_mask, s, jnp.float32(-1e30))
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)       # (N, N) f32
+            p_scr[b * num_heads + h] = p
+            attn_scr[rows, qs] = _dot(p.astype(dtype), v).astype(dtype)
     yf = _dot(attn_scr[:], wproj_ref[:]) + bproj_ref[0] \
         + xb.astype(jnp.float32)
     yb = yf.astype(dtype)  # the sub-block boundary rounding (parity)
@@ -281,7 +297,7 @@ def _pair_bwd_body(b, num_heads, scale, same_mask, row_valid, gated,
     # ---- MLP forward recompute ----
     xhat2, rstd2, h2f = _ln_fwd_stats(yb, ln2_s_ref, ln2_b_ref)
     h2 = h2f.astype(dtype)
-    z = _dot(h2, w1_ref[:]) + b1_ref[0]                      # (N, hidden) f32
+    z = _dot(h2, w1_ref[:]) + b1_ref[0]                  # (bb*N, hidden) f32
     inv_sqrt2 = np.float32(0.7071067811865476)
     cdf = 0.5 * (1.0 + _erf(z * inv_sqrt2))
     a = (z * cdf).astype(dtype)
@@ -290,22 +306,20 @@ def _pair_bwd_body(b, num_heads, scale, same_mask, row_valid, gated,
         # pair output + att_fuse gate backward (reference DSTformer.py:
         # 340-351). Mask `other` too: garbage edge rows otherwise poison
         # the accumulated gate-weight grads through exp/NaN.
-        otherb = other_ref[b]
-        if row_valid is not None:
-            otherb = jnp.where(row_valid, otherb, 0)
+        otherb = _read_flat(other_ref, bb, rv)
         out_b = (_dot(a, w2_ref[:]) + b2_ref[0]
                  + yb.astype(jnp.float32)).astype(dtype)
         sg = (_dot(otherb, wga_ref[:]) + _dot(out_b, wgb_ref[:])
-              + bg_ref[0].astype(jnp.float32))               # (N, 2) f32
+              + bg_ref[0].astype(jnp.float32))           # (bb*N, 2) f32
         m = jnp.max(sg, axis=-1, keepdims=True)
         e = jnp.exp(sg - m)
-        alpha = e / jnp.sum(e, axis=-1, keepdims=True)       # (N, 2) f32
+        alpha = e / jnp.sum(e, axis=-1, keepdims=True)   # (bb*N, 2) f32
         ga = gb.astype(jnp.float32)
         dal0 = jnp.sum(ga * otherb.astype(jnp.float32), axis=-1,
                        keepdims=True)
         dal1 = jnp.sum(ga * out_b.astype(jnp.float32), axis=-1,
                        keepdims=True)
-        dal = jnp.concatenate([dal0, dal1], axis=-1)         # (N, 2)
+        dal = jnp.concatenate([dal0, dal1], axis=-1)     # (bb*N, 2)
         dsg = alpha * (dal - jnp.sum(dal * alpha, axis=-1, keepdims=True))
         dsgb = dsg.astype(dtype)
         dother = ga * alpha[:, 0:1] + _dot_t(dsgb, wga_ref[:])
@@ -313,55 +327,56 @@ def _pair_bwd_body(b, num_heads, scale, same_mask, row_valid, gated,
         dwga_ref[:] += _dot_at(otherb, dsgb)
         dwgb_ref[:] += _dot_at(out_b, dsgb)
         dbg_ref[0] += jnp.sum(dsg, axis=0)
-        dother_ref[b] = dother.astype(dtype)
-        gmlp = dout.astype(dtype)                            # grad into pair
+        dother_ref[:] = dother.reshape(dother_ref.shape).astype(dtype)
+        gmlp = dout.astype(dtype)                        # grad into pair
     else:
         gmlp = gb
 
     # ---- MLP backward ----
-    dw2_acc = _dot_at(a, gmlp)
-    dw2_ref[:] += dw2_acc
+    dw2_ref[:] += _dot_at(a, gmlp)
     db2_ref[0] += jnp.sum(gmlp.astype(jnp.float32), axis=0)
-    da = _dot_t(gmlp, w2_ref[:].astype(dtype))               # (N, hidden) f32
+    da = _dot_t(gmlp, w2_ref[:].astype(dtype))           # (bb*N, hidden) f32
     pdf = jnp.exp(-0.5 * z * z) * np.float32(0.3989422804014327)
     dz = (da * (cdf + z * pdf)).astype(dtype)
     dw1_ref[:] += _dot_at(h2, dz)
     db1_ref[0] += jnp.sum(dz.astype(jnp.float32), axis=0)
-    dh2 = _dot_t(dz, w1_ref[:].astype(dtype))                # (N, C) f32
+    dh2 = _dot_t(dz, w1_ref[:].astype(dtype))            # (bb*N, C) f32
     dy = _ln_bwd_rows(dh2, xhat2, rstd2, ln2_s_ref, dls2_ref, dlb2_ref) \
-        + gmlp.astype(jnp.float32)                           # +residual
+        + gmlp.astype(jnp.float32)                       # +residual
     dyb = dy.astype(dtype)  # the sub-block boundary rounding (parity)
 
     # ---- attention backward (reuses qkv_scr / p_scr / attn_scr) ----
-    dattn = _dot_t(dyb, wproj_ref[:].astype(dtype))          # (N, C) f32
+    dattn = _dot_t(dyb, wproj_ref[:].astype(dtype))      # (bb*N, C) f32
     dbproj_ref[0] += jnp.sum(dyb.astype(jnp.float32), axis=0)
     dwproj_ref[:] += _dot_at(attn_scr[:], dyb)
-    for h in range(num_heads):
-        qs = slice(h * d, (h + 1) * d)
-        ks = slice(C + h * d, C + (h + 1) * d)
-        vs = slice(2 * C + h * d, 2 * C + (h + 1) * d)
-        q = qkv_scr[:, qs].astype(dtype)
-        k = qkv_scr[:, ks].astype(dtype)
-        v = qkv_scr[:, vs].astype(dtype)
-        p = p_scr[h]                                         # (N, N) f32
-        pb = p.astype(dtype)
-        dah = dattn[:, qs].astype(dtype)                     # (N, d)
-        dv = _dot_at(pb, dah)
-        dp = _dot_t(dah, v)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds = (ds * scale).astype(dtype)
-        dq = _dot(ds, k)
-        dk = _dot_at(ds, q)
-        dqkv_scr[:, qs] = dq
-        dqkv_scr[:, ks] = dk
-        dqkv_scr[:, vs] = dv
+    for b in range(bb):
+        rows = slice(b * N, (b + 1) * N)
+        for h in range(num_heads):
+            qs = slice(h * d, (h + 1) * d)
+            ks = slice(C + h * d, C + (h + 1) * d)
+            vs = slice(2 * C + h * d, 2 * C + (h + 1) * d)
+            q = qkv_scr[rows, qs].astype(dtype)
+            k = qkv_scr[rows, ks].astype(dtype)
+            v = qkv_scr[rows, vs].astype(dtype)
+            p = p_scr[b * num_heads + h]                 # (N, N) f32
+            pb = p.astype(dtype)
+            dah = dattn[rows, qs].astype(dtype)          # (N, d)
+            dv = _dot_at(pb, dah)
+            dp = _dot_t(dah, v)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = (ds * scale).astype(dtype)
+            dq = _dot(ds, k)
+            dk = _dot_at(ds, q)
+            dqkv_scr[rows, qs] = dq
+            dqkv_scr[rows, ks] = dk
+            dqkv_scr[rows, vs] = dv
     dqkv = dqkv_scr[:].astype(dtype)
     dwqkv_ref[:] += _dot_at(h1, dqkv)
     dbqkv_ref[0] += jnp.sum(dqkv_scr[:], axis=0)
-    dh1 = _dot_t(dqkv, wqkv_ref[:].astype(dtype))            # (N, C) f32
+    dh1 = _dot_t(dqkv, wqkv_ref[:].astype(dtype))        # (bb*N, C) f32
     dx = _ln_bwd_rows(dh1, xhat1, rstd1, ln1_s_ref, dls1_ref, dlb1_ref) \
-        + dyb.astype(jnp.float32)                            # +residual
-    dx_ref[b] = dx.astype(dtype)
+        + dyb.astype(jnp.float32)                        # +residual
+    dx_ref[:] = dx.reshape(dx_ref.shape).astype(dtype)
 
 
 def _pair_bwd_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
@@ -401,32 +416,33 @@ def _pair_bwd_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
         for r in grad_refs:
             r[:] = jnp.zeros_like(r)
 
-    for b in range(bb):
-        _pair_bwd_body(
-            b, num_heads, scale, same_mask, row_valid, gated,
-            x_ref, other_ref, g_ref,
-            ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1,
-            w2, b2, wga, wgb, bg,
-            dx, dother, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2,
-            dlb2, dw1, db1, dw2, db2, dwga, dwgb, dbg,
-            qkv_scr, dqkv_scr, attn_scr, p_scr)
+    _pair_bwd_body(
+        bb, num_heads, scale, same_mask, row_valid, gated,
+        x_ref, other_ref, g_ref,
+        ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b, w1, b1,
+        w2, b2, wga, wgb, bg,
+        dx, dother, dls1, dlb1, dwqkv, dbqkv, dwproj, dbproj, dls2,
+        dlb2, dw1, db1, dw2, db2, dwga, dwgb, dbg,
+        qkv_scr, dqkv_scr, attn_scr, p_scr)
 
 
 def _pick_pair_bwd_batch_block(B, N, C, hidden, num_heads, itemsize, gated,
-                               budget: int = 24 << 20) -> int:
+                               budget: int = 26 << 20) -> int:
     """Largest measured-good divisor of B fitting: resident weights (bf16) +
-    f32 grad accumulators + scratch (qkv/dqkv/p/attn) + bb double-buffered
-    streams. Capped at bb=2: on the dev chip at flagship dims bb=4 measured
-    ~8% slower than bb=2 (25.1 vs 22.8 ms spatial, 19.4 vs 18.1 temporal) —
-    bigger blocks leave too few grid steps to overlap the stream DMAs."""
+    f32 grad accumulators + bb-scaled scratch (the flattened kernel's
+    qkv/dqkv/p/attn scratches grow with bb) + bb double-buffered streams.
+    Capped at bb=2: bigger blocks leave too few grid steps to overlap the
+    stream DMAs (measured round 2), and the flattened scratches put bb=4
+    past the physical-VMEM wall anyway."""
     weights = (3 * C * C + C * C + 2 * C * hidden) * itemsize
     grads = (3 * C * C + C * C + 2 * C * hidden) * 4
-    scratch = N * (3 * C + 3 * C) * 4 + N * C * itemsize \
+    scratch_per_b = N * (3 * C + 3 * C) * 4 + N * C * itemsize \
         + num_heads * N * N * 4
     streams_per_b = (5 if gated else 3) * N * C * itemsize * 2
-    fixed = weights + grads + scratch
+    fixed = weights + grads
     for bb in (2, 1):
-        if B % bb == 0 and fixed + bb * streams_per_b <= budget:
+        if B % bb == 0 and \
+                fixed + bb * (scratch_per_b + streams_per_b) <= budget:
             return bb
     return 1
 
@@ -509,10 +525,10 @@ def _pair_bwd_pallas(x, other, g, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         scratch_shapes=[
-            pltpu.VMEM((N, 3 * C), f32),             # qkv
-            pltpu.VMEM((N, 3 * C), f32),             # dqkv
-            pltpu.VMEM((N, C), dtype),               # attn
-            pltpu.VMEM((num_heads, N, N), f32),      # p
+            pltpu.VMEM((bb * N, 3 * C), f32),          # qkv
+            pltpu.VMEM((bb * N, 3 * C), f32),          # dqkv
+            pltpu.VMEM((bb * N, C), dtype),            # attn
+            pltpu.VMEM((bb * num_heads, N, N), f32),   # p
         ],
         compiler_params=_vmem_params(48 << 20),
         interpret=not _on_tpu(),

@@ -71,6 +71,10 @@ class BatchingServer:
         self._max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._closed = False
+        # guards the _closed check + enqueue pair: without it a submit can
+        # pass the check while shutdown() enqueues the sentinel, landing its
+        # item BEHIND the sentinel where the worker never sees it
+        self._submit_lock = threading.Lock()
         self.stats = ServerStats()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="mbt-serving-collector")
@@ -81,18 +85,23 @@ class BatchingServer:
     def submit(self, clip: np.ndarray) -> Future:
         """Enqueue one (T, ...) clip; returns a Future of fn's per-clip
         output (numpy, leading batch dim removed)."""
-        if self._closed:
-            raise RuntimeError("server is shut down")
         fut: Future = Future()
-        self._q.put((np.asarray(clip), fut))
+        # copy: the collector may stack this buffer up to max_wait_ms later;
+        # a caller reusing its array after submit must not corrupt the batch
+        item = (np.array(clip, copy=True), fut)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("server is shut down")
+            self._q.put(item)
         return fut
 
     def shutdown(self, wait: bool = True):
         """Stop accepting work; drain the queue, then stop the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)  # sentinel
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)  # sentinel
         if wait:
             self._worker.join()
 

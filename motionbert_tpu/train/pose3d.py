@@ -99,14 +99,23 @@ def make_train_step(model, lambdas: dict, *, rootrel: bool, no_conf: bool,
 # Builders are memoized by model identity: rebuilding the closure each call
 # would defeat jax.jit's trace cache (one full retrace per epoch; the
 # remote-compile TPU path makes that minutes of dead time). The cache holds
-# a strong model ref so ids stay valid.
-_STEP_CACHE: dict = {}
+# a strong model ref (in the key) so ids stay valid, and is LRU-bounded so a
+# long-lived process that builds many models (e.g. a serving host reloading
+# checkpoints) cannot grow it without limit.
+from collections import OrderedDict
+
+_STEP_CACHE: "OrderedDict" = OrderedDict()
+_STEP_CACHE_MAX = 32  # trainers use ~3 entries/model; 32 ≈ 10 live models
 
 
 def _memo(key, build):
-    if key not in _STEP_CACHE:
-        _STEP_CACHE[key] = build()
-    return _STEP_CACHE[key]
+    if key in _STEP_CACHE:
+        _STEP_CACHE.move_to_end(key)
+        return _STEP_CACHE[key]
+    val = _STEP_CACHE[key] = build()
+    while len(_STEP_CACHE) > _STEP_CACHE_MAX:
+        _STEP_CACHE.popitem(last=False)
+    return val
 
 
 def make_eval_step(model, *, no_conf: bool, flip_tta: bool):

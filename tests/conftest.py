@@ -16,5 +16,26 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (the full e2e tier)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run skips the slow tier (e2e smoke trainers, full-model
+    grad parity, heavyweight goldens) so `pytest tests/ -q` stays under
+    ~5 minutes; CI-full / pre-release runs pass --runslow (or RUN_SLOW=1)
+    for the whole suite."""
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: pass --runslow (or RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -82,6 +82,7 @@ def test_supcon_mperclass_step_semantics_golden():
     np.testing.assert_allclose(float(loss), float(g["loss_mpc"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_supcon_step_sharded_matches_single_device():
     """One-shot SupCon train step over the DP mesh == single device (the
     reference DataParallel-wraps the one-shot entry point too,
@@ -129,6 +130,7 @@ def test_supcon_step_sharded_matches_single_device():
     assert max(jax.tree_util.tree_leaves(diffs)) < 5e-5
 
 
+@pytest.mark.slow
 def test_action_net_shapes_and_training():
     from motionbert_tpu.models.action_heads import ActionNet
     from motionbert_tpu.models.dstformer import DSTformer

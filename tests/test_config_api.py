@@ -41,6 +41,7 @@ def test_shipped_configs_load():
         assert "maxlen" in cfg, p
 
 
+@pytest.mark.slow
 def test_motionbert_api(tmp_path):
     import yaml
 

@@ -39,7 +39,10 @@ def _load_golden(name):
 # (interpreted on CPU — same code path as the TPU Mosaic build, which
 # tools/verify_kernels.py additionally checks on-chip).
 @pytest.mark.parametrize("name,attn_impl", [
-    ("small", "xla"), ("mid", "xla"), ("mid", "pallas"),
+    ("small", "xla"), ("mid", "xla"),
+    # mid-pallas duplicates the flagship-pallas coverage at a geometry
+    # whose interpret-mode run costs ~3 min — full tier only
+    pytest.param("mid", "pallas", marks=pytest.mark.slow),
     ("flagship", "xla"), ("flagship", "pallas"),
 ])
 def test_forward_parity_with_reference(name, attn_impl):

@@ -125,6 +125,7 @@ def test_fused_gated_pair_block(mode):
                                    rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_full_model_fused_vs_xla_paths():
     """Whole DSTformer: pallas (fully fused, interpreted on CPU) == xla.
 

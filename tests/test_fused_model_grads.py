@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import jax.tree_util as jtu
 import numpy as np
+import pytest
 
 from motionbert_tpu.models.dstformer import DSTformer
 
@@ -13,6 +14,7 @@ CFG = dict(dim_in=3, dim_out=3, dim_feat=128, dim_rep=128, depth=1,
            num_heads=4, mlp_ratio=2, num_joints=17, maxlen=9)
 
 
+@pytest.mark.slow
 def test_model_grads_fused_vs_xla():
     mx = DSTformer(attn_impl="xla", **CFG)
     mp = DSTformer(attn_impl="pallas", **CFG)

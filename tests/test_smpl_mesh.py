@@ -111,6 +111,7 @@ def test_mesh_head_shapes():
     np.testing.assert_allclose(np.asarray(out["kp_3d"]), kp, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_mesh_loss_and_train_step():
     from motionbert_tpu.models.dstformer import DSTformer
     from motionbert_tpu.models.mesh_head import MeshRegressor

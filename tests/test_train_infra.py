@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from motionbert_tpu.models.dstformer import DSTformer
 from motionbert_tpu.train.state import TrainState, freeze_except, make_adamw
@@ -14,6 +15,7 @@ CFG = dict(dim_in=3, dim_out=3, dim_feat=32, dim_rep=32, depth=2,
            num_heads=4, mlp_ratio=2, num_joints=17, maxlen=9)
 
 
+@pytest.mark.slow
 def test_freeze_except_only_updates_matching():
     model = DSTformer(**CFG)
     params = model.init(jax.random.PRNGKey(0),
@@ -41,6 +43,7 @@ def test_freeze_except_only_updates_matching():
         assert did_change == trainable, (key, did_change)
 
 
+@pytest.mark.slow
 def test_pose3d_resume_continues_epochs(tmp_path):
     """Auto-resume from latest_epoch.ckpt (reference train.py:274-276)."""
     import types
@@ -119,6 +122,7 @@ def test_estimate_translation_recovers_known_camera():
     np.testing.assert_allclose(t_est, t_true, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_parity_gate_plumbing(tmp_path):
     """tools/parity_gate.py runs the full convert->eval->compare pipeline
     (on synthetic data; the released-checkpoint run needs egress)."""
@@ -197,6 +201,7 @@ def test_load_any_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(payload["params"]["w"], np.ones(3))
 
 
+@pytest.mark.slow
 def test_pose3d_finetune_resume_restores_epoch(tmp_path):
     """finetune + --resume must continue from the saved epoch/optimizer
     instead of silently restarting (reference train.py:295-304 restores

@@ -13,7 +13,7 @@ artifacts exist:
         --published 39.2 --tol 1.0
 
 Published numbers (reference README.md:76-84): scratch pose3d 39.2 mm
-(MB_train_h36m), finetuned 37.5 mm (MB_ft_h36m).
+(MB_train_h36m), finetuned 37.2 mm (MB_ft_h36m).
 
 Exit code 0 = pass; prints one JSON line either way.
 """
