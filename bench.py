@@ -121,11 +121,11 @@ def bench_latency_batch1(model, variables, n=20):
     return best * 1000.0
 
 
-def bench_training(iters=4):
-    """Flagship train step (fwd+bwd+AdamW) at the shipped batch size,
-    chained inside one jit. remat=False is the pose3d trainer's default —
-    the fused Pallas backward kernels materialize no padded score tensors,
-    so the step fits 16G HBM without remat (and runs ~10% faster)."""
+def bench_training(iters=4, batch=32, remat=False, attn_impl="pallas"):
+    """Flagship train step (fwd+bwd+AdamW), chained inside one jit.
+    batch=32 / remat=False are the pose3d trainer's defaults — the fused
+    Pallas backward kernels materialize no padded score tensors, so the
+    step fits 16G HBM without remat (and runs ~10% faster)."""
     import jax
     import jax.numpy as jnp
 
@@ -134,8 +134,7 @@ def bench_training(iters=4):
     from motionbert_tpu.train.pose3d import make_train_step
     from motionbert_tpu.train.state import TrainState, make_adamw
 
-    batch = 32
-    model = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas", remat=False,
+    model = DSTformer(dtype=jnp.bfloat16, attn_impl=attn_impl, remat=remat,
                       **FLAGSHIP_CONFIG)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 243, 17, 3)))["params"]

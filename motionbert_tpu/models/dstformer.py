@@ -204,7 +204,7 @@ class Attention(nn.Module):
 
         fusable = C % 128 == 0  # Pallas lane alignment
         if self.mode in ("spatial", "temporal") and fusable \
-                and self.attn_impl == "pallas":
+                and self.attn_impl in ("pallas", "pallas_q8"):
             # fully fused path: [LN +] qkv matmul + attention +
             # out-projection [+ residual] in one kernel; raw params share
             # nn.Dense's tree layout
@@ -356,8 +356,15 @@ class Block(nn.Module):
                                      self.drop_path == 0.0)
         C = x.shape[-1]
         hidden = int(self.dim * self.mlp_ratio)
-        pair = (fuse_res and self.attn_impl == "pallas" and C % 128 == 0
-                and hidden % 128 == 0)
+        pair = (fuse_res and C % 128 == 0 and hidden % 128 == 0
+                and self.attn_impl in ("pallas", "pallas_q8"))
+        pair_fn, gated_fn = fused_pair_block, fused_gated_pair_block
+        if self.attn_impl == "pallas_q8":
+            # opt-in W8A8 forward (straight-through bf16 backward); see
+            # ops.pair_q8 for the quantization scheme and its gating
+            from motionbert_tpu.ops.pair_q8 import (
+                fused_gated_pair_block_q8, fused_pair_block_q8)
+            pair_fn, gated_fn = fused_pair_block_q8, fused_gated_pair_block_q8
         scale = self.qk_scale if self.qk_scale is not None \
             else (C // self.num_heads) ** -0.5
         for i, axis in enumerate(order):
@@ -372,7 +379,7 @@ class Block(nn.Module):
                 mode = "spatial" if axis == "s" else "temporal"
                 if gate is not None and i == len(order) - 1:
                     other, wg, bg = gate
-                    x = fused_gated_pair_block(
+                    x = gated_fn(
                         x.astype(dt), other.astype(dt), ln1[0], ln1[1],
                         wqkv.astype(dt), bqkv.astype(dt), wproj.astype(dt),
                         bproj.astype(dt), ln2[0], ln2[1], w1.astype(dt),
@@ -380,7 +387,7 @@ class Block(nn.Module):
                         wg.astype(dt), bg.astype(dt), self.num_heads,
                         scale, mode)
                     return x
-                x = fused_pair_block(
+                x = pair_fn(
                     x.astype(dt), ln1[0], ln1[1], wqkv.astype(dt),
                     bqkv.astype(dt), wproj.astype(dt), bproj.astype(dt),
                     ln2[0], ln2[1], w1.astype(dt), b1.astype(dt),

@@ -164,10 +164,13 @@ def test_dp_tp_matches_single_device_on_pallas_kernel_path():
     cfg = dict(CFG, dim_feat=128, dim_rep=128, num_heads=8,
                attn_impl="pallas")
     model = DSTformer(**cfg)
-    rng0 = jax.random.PRNGKey(0)
     frames, batch = 9, 8
-    params = model.init(rng0, jnp.zeros((1, frames, 17, 3)))["params"]
-    state = TrainState.create(model.apply, params, make_adamw(1e-3, 0.01))
+
+    def mk_state():  # the jitted step donates its state — build fresh ones
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, frames, 17, 3)))["params"]
+        return TrainState.create(model.apply, params, make_adamw(1e-3, 0.01))
+
     rs = np.random.RandomState(0)
     gt3d = rs.uniform(-1, 1, (batch, frames, 17, 3)).astype(np.float32)
     x = jnp.asarray(np.concatenate(
@@ -177,9 +180,10 @@ def test_dp_tp_matches_single_device_on_pallas_kernel_path():
     step = make_train_step(model, LAMBDAS, rootrel=True, no_conf=False,
                            use_mask=False, use_noise=False, noise_params=None)
     rng = jax.random.PRNGKey(6)
-    _, terms_single = step(state, x, y, rng)
+    _, terms_single = step(mk_state(), x, y, rng)
 
     mesh = make_mesh(n_data=4, n_model=2)
+    state = mk_state()
     state2 = state.replace(
         params=shard_params(state.params, mesh),
         opt_state=jax.device_put(
