@@ -283,6 +283,49 @@ def golden_action_dataset():
     print("action dataset goldens written")
 
 
+def golden_datasets_2d():
+    """Reference PoseTrack/InstaVariety dataset classes parsed over OUR
+    synthetic files (tools/make_synthetic_data) — pins the parse+filter
+    pipeline (track grouping, 30-frame/valid-joint/root-visible filters,
+    crop_scale RNG order, posetrack->h36m remap, split_clips) so a shared
+    misreading of the real formats cannot pass silently (VERDICT r2 #7).
+    The reference classes hardcode relative data roots, so we chdir into a
+    synthetic tree shaped like the real one.
+    Reference: lib/data/dataset_motion_2d.py:77-147."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, repo)
+    import shutil
+    import tempfile
+
+    from tools.make_synthetic_data import make_instav_npy, make_posetrack_json
+
+    root = tempfile.mkdtemp(prefix="golden2d_")
+    make_posetrack_json(
+        os.path.join(root, "data", "motion2d", "posetrack18_annotations",
+                     "train"), n_files=2, n_tracks=3, n_frames=35)
+    make_instav_npy(os.path.join(root, "data", "motion2d", "InstaVariety"))
+
+    from lib.data.dataset_motion_2d import (
+        InstaVDataset2D, PoseTrackDataset2D)
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(root)
+        np.random.seed(0)  # crop_scale draws from the global RNG
+        pt = PoseTrackDataset2D()
+        np.random.seed(0)
+        iv = InstaVDataset2D(n_frames=27, data_stride=9)
+    finally:
+        os.chdir(cwd)
+    np.savez_compressed(
+        os.path.join(OUT, "datasets_2d.npz"),
+        posetrack_motions=np.asarray(pt.motions_2d, np.float32),
+        instav_motions=np.asarray(iv.motions_2d, np.float32))
+    shutil.rmtree(root)
+    print("2d dataset goldens written "
+          f"(posetrack {pt.motions_2d.shape}, instav {iv.motions_2d.shape})")
+
+
 def golden_legacy_attention():
     """Reference Attention legacy modes + stage_para Block on fixed inputs."""
     from functools import partial
@@ -358,6 +401,7 @@ if __name__ == "__main__":
     golden_losses()
     golden_datareader()
     golden_action_dataset()
+    golden_datasets_2d()
     golden_supcon()
     golden_legacy_attention()
     print("all goldens written to", OUT)
