@@ -127,11 +127,17 @@ def _gated_pair_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
 
 
 def _pick_pair_batch_block(B, N, C, hidden, itemsize, gated: bool = False,
-                           budget: int = 20 << 20) -> int:
+                           budget: int = 26 << 20) -> int:
     """Largest divisor of B whose per-b f32 intermediates (qkv + hidden +
     attn/y) fit the VMEM budget alongside the resident weights. The gated
     variant streams a second (N, C) input per b plus small f32 gate
-    temporaries."""
+    temporaries.
+
+    budget 26MB (forward launches only; the pair backward sizes its own
+    blocks): at flagship dims this lifts temporal bb 2 -> 4, measured +4%
+    kernel throughput (r3 probe), and still compiles under the 28MB
+    compiler_params limit. The backward keeps smaller blocks — bb=4/8
+    measured ~8% slower there (DMA overlap starvation, docs/design.md)."""
     weights = (3 * C * C + C * C + 2 * C * hidden) * itemsize
     per_b = N * (3 * C + hidden + 3 * C) * 4 + 4 * N * C * itemsize
     if gated:
@@ -180,7 +186,7 @@ def _pair_pallas(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
                   const(w2.shape), const((1, b2.shape[-1]))],
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
-        # the picker budgets 20MB; raise Mosaic's 16MB default scoped-VMEM
+        # the picker budgets 26MB; raise Mosaic's 16MB default scoped-VMEM
         # limit so an estimate landing in 16-28MB compiles instead of
         # erroring (28MB budgets compile on this chip, CLAUDE.md)
         compiler_params=_vmem_params(28 << 20),

@@ -35,13 +35,13 @@ def test_loss_decreases():
                            use_mask=False, use_noise=False, noise_params=None)
     rng = jax.random.PRNGKey(1)
     first = None
-    for i in range(30):
+    for i in range(15):
         rng, sub = jax.random.split(rng)
         state, terms = step(state, x, y, sub)
         if first is None:
             first = float(terms["total"])
-    assert float(terms["total"]) < first * 0.9
-    assert int(state.step) == 30
+    assert float(terms["total"]) < first * 0.95
+    assert int(state.step) == 15
 
 
 def test_2d_branch():
@@ -150,8 +150,13 @@ def test_dp_tp_step_matches_single_device():
     assert max(jax.tree_util.tree_leaves(diffs)) < 5e-5
 
 
+@pytest.mark.slow
 def test_dp_tp_matches_single_device_on_pallas_kernel_path():
     """4x2 (DP x TP) mesh equivalence THROUGH the fused pair kernels.
+
+    slow tier (~5 min interpret-mode on the 1-vCPU dev box): the driver's
+    dryrun_multichip phase 2 runs the same claim at depth 1 every round,
+    so the default tier keeps coverage via that path.
 
     Every round-2 DP x TP artifact ran at C=64 (C % 128 != 0), i.e. the XLA
     fallback — whether pallas_call composes with a sharded model axis was
