@@ -38,6 +38,19 @@ from motionbert_tpu.ops.attention import (
     _ln_fwd_stats, _ln_rows, _on_tpu, _spatial_masks, _vmem_params)
 from motionbert_tpu.ops.fused_mlp import _erf, _fused_mlp_xla
 
+# Spatial frame-tile for the FORWARD pair kernels: tf frames of J joints
+# per token tile (block-diagonal same-frame mask). tf=8 (N = 136 rows,
+# sublane-aligned for any J) is the measured round-2 configuration.
+# Candidate: tf=7 puts N = 7*17 = 119 <= 128 rows in ONE MXU row/col
+# tile, so each per-(group, head) score/AV matmul would be a single
+# 128-tile op instead of 2x2 padded tiles — flip only on a measured
+# model-level win (tools/probe tf sweep). The backward tiles separately.
+SPATIAL_TF = 8
+
+# Spatial frame-tile for the pair BACKWARD kernels (separate knob: the
+# backward's VMEM scratch and DMA-overlap profile differ from the forward's).
+SPATIAL_TF_BWD = 8
+
 
 def _pair_rows(xb, bb, num_heads, scale, same_mask, ln1_s_ref, ln1_b_ref,
                wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, ln2_s_ref,
@@ -164,7 +177,7 @@ def _pair_pallas(x, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
         grid = (B // bb, J)
         out_shape = (B, F, J * C)
     else:
-        tf = 8  # 8*J rows per tile: sublane-aligned for any J
+        tf = SPATIAL_TF
         N, total = tf * J, F * J
         x2 = x.reshape(B, F * J, C)
         bb = _pick_pair_batch_block(B, N, C, hidden, x.dtype.itemsize)
@@ -464,9 +477,9 @@ def _pair_bwd_pallas(x, other, g, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
     B, F, J, C = x.shape
     hidden = w1.shape[1]
     dtype = x.dtype
-    bb = _pick_pair_bwd_batch_block(B, F if mode == "temporal" else 8 * J,
-                                    C, hidden, num_heads, dtype.itemsize,
-                                    gated)
+    bb = _pick_pair_bwd_batch_block(
+        B, F if mode == "temporal" else SPATIAL_TF_BWD * J,
+        C, hidden, num_heads, dtype.itemsize, gated)
     if mode == "temporal":
         N, total = F, None
         reshape = (B, F, J * C)
@@ -474,7 +487,7 @@ def _pair_bwd_pallas(x, other, g, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
                               memory_space=pltpu.VMEM)
         grid = (B // bb, J)
     else:
-        tf = 8
+        tf = SPATIAL_TF_BWD
         N, total = tf * J, F * J
         reshape = (B, F * J, C)
         x_spec = pl.BlockSpec((bb, N, C), lambda b, t: (b, t, 0),
@@ -622,7 +635,7 @@ def fused_gated_pair_block(x, other, ln1_s, ln1_b, wqkv, bqkv, wproj, bproj,
                               memory_space=pltpu.VMEM)
         grid = (B // bb, J)
     else:
-        tf = 8
+        tf = SPATIAL_TF
         N, total = tf * J, F * J
         reshape = (B, F * J, C)
         bb = _pick_pair_batch_block(B, N, C, hidden, x.dtype.itemsize,

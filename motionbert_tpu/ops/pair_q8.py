@@ -171,7 +171,8 @@ def _q8_launch(kernel_body, x, other, weights, num_heads, scale, mode):
                               memory_space=pltpu.VMEM)
         grid = (B // bb, J)
     else:
-        tf = 8
+        from motionbert_tpu.ops.fused_pair import SPATIAL_TF
+        tf = SPATIAL_TF
         N, total = tf * J, F * J
         reshape = (B, F * J, C)
         bb = _pick_pair_batch_block(B, N, C, hidden, x.dtype.itemsize,

@@ -20,6 +20,15 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite's wall time is dominated by XLA CPU
+# compiles of the jitted trainers/kernels; caching them roughly halves a
+# warm run (measured 56s -> 27s on the fast tier). Keyed by HLO, so code
+# changes invalidate exactly the programs they alter.
+from motionbert_tpu.core.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.environ.get(
+    "MOTIONBERT_TEST_COMPILE_CACHE", "/tmp/motionbert_xla_cache_tests"))
+
 
 def pytest_addoption(parser):
     parser.addoption(
