@@ -82,7 +82,9 @@ def probe(batch, F, iters, force_bb=None, modes=("spatial", "temporal"),
     tokens = batch * F * J
     results = {}
     for mode in modes:
-        nctx = 8 * J if mode == "spatial" else F
+        # spatial context = the actual frame-tile's row count (counts the
+        # block-diagonal tile's masked work as computed, which it is)
+        nctx = fp.SPATIAL_TF * J if mode == "spatial" else F
         mm_flops = tokens * (8 * C * C + 4 * C * HID)
         at_flops = tokens * 4 * nctx * C
         fwd_flops = mm_flops + at_flops
@@ -185,11 +187,24 @@ def main():
     ap.add_argument("--variants", default="pair,gated")
     ap.add_argument("--dirs", default="fwd,fwdbwd")
     ap.add_argument("--check-q8", action="store_true")
+    ap.add_argument("--tf", type=int, default=None,
+                    help="override the forward spatial frame-tile "
+                         "(ops/fused_pair.SPATIAL_TF) for this probe")
+    ap.add_argument("--tf-bwd", type=int, default=None,
+                    help="override the backward spatial frame-tile "
+                         "(ops/fused_pair.SPATIAL_TF_BWD)")
     args = ap.parse_args()
 
     from motionbert_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.tf is not None or args.tf_bwd is not None:
+        from motionbert_tpu.ops import fused_pair as fp
+
+        if args.tf is not None:
+            fp.SPATIAL_TF = args.tf
+        if args.tf_bwd is not None:
+            fp.SPATIAL_TF_BWD = args.tf_bwd
     if args.check_q8:
         print(json.dumps(check_q8()))
         return
