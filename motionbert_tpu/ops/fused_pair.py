@@ -39,16 +39,19 @@ from motionbert_tpu.ops.attention import (
 from motionbert_tpu.ops.fused_mlp import _erf, _fused_mlp_xla
 
 # Spatial frame-tile for the FORWARD pair kernels: tf frames of J joints
-# per token tile (block-diagonal same-frame mask). tf=8 (N = 136 rows,
-# sublane-aligned for any J) is the measured round-2 configuration.
-# Candidate: tf=7 puts N = 7*17 = 119 <= 128 rows in ONE MXU row/col
-# tile, so each per-(group, head) score/AV matmul would be a single
-# 128-tile op instead of 2x2 padded tiles — flip only on a measured
-# model-level win (tools/probe tf sweep). The backward tiles separately.
+# per token tile (block-diagonal same-frame mask). Pallas TPU requires the
+# block's second-to-last dim to be divisible by 8, and J=17 is odd, so tf
+# must itself be a multiple of 8 — tf=8 (N=136) is the minimum and the
+# measured optimum. The tempting tf=7 (N=119 <= 128: single-MXU-tile
+# score/AV matmuls, ~3.5x less score-core tile work) is REJECTED at
+# lowering ("block shape ... divisible by 8", measured r3); buying it
+# back would need a padded (g, 128, C) token relayout whose extra HBM
+# round-trip costs more than the ~11%-of-forward MXU saving.
 SPATIAL_TF = 8
 
 # Spatial frame-tile for the pair BACKWARD kernels (separate knob: the
-# backward's VMEM scratch and DMA-overlap profile differ from the forward's).
+# backward's VMEM scratch and DMA-overlap profile differ from the
+# forward's). Same divisible-by-8 lowering constraint as SPATIAL_TF.
 SPATIAL_TF_BWD = 8
 
 
