@@ -149,3 +149,23 @@ def test_full_model_fused_vs_xla_paths():
     assert t1 == t2
     np.testing.assert_allclose(np.asarray(mx.apply(v, x)),
                                np.asarray(mp.apply(v, x)), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_lite_geometry_fused_vs_xla_paths():
+    """MotionBERT-Lite geometry (dim_feat 256, heads 8, mlp_ratio 4 —
+    configs/pretrain/MB_lite.yaml, matching the reference's MB_lite.yaml)
+    through the fully fused path. C=256 is the model zoo's second
+    128-aligned width: it exercises head_dim 32 and a 1024-wide MLP
+    hidden inside the pair kernels, geometries the C=128 test never
+    reaches. Depth shrunk 5→2 (kernel wiring repeats per layer pair)."""
+    from motionbert_tpu.models.dstformer import DSTformer
+
+    CFG = dict(dim_in=3, dim_out=3, dim_feat=256, dim_rep=256, depth=2,
+               num_heads=8, mlp_ratio=4, num_joints=17, maxlen=27)
+    mx = DSTformer(attn_impl="xla", **CFG)
+    mp = DSTformer(attn_impl="pallas", **CFG)
+    x = _mk((2, 9, 17, 3), 11)
+    v = mx.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(mx.apply(v, x)),
+                               np.asarray(mp.apply(v, x)), atol=2e-5)
