@@ -91,7 +91,9 @@ class Mlp(nn.Module):
         # fused path also needs the inter-layer dropout inactive (the
         # reference drops between GELU and fc2, DSTformer.py:79-84) and a
         # lane-aligned channel dim
-        if self.impl == "pallas" and C % 128 == 0 and \
+        # pallas_q8 quantizes only inside the pair kernels; standalone MLP
+        # sub-blocks still take the bf16 fused kernel (beats unfused Dense)
+        if self.impl in ("pallas", "pallas_q8") and C % 128 == 0 and \
                 (self.drop == 0.0 or deterministic):
             w1, b1 = DenseParams(C, self.hidden_features, name="fc1")()
             w2, b2 = DenseParams(self.hidden_features, self.out_features,

@@ -129,6 +129,15 @@ def _gated_pair_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
         bqkv_ref, wproj_ref, bproj_ref, ln2_s_ref, ln2_b_ref, w1_ref,
         b1_ref, w2_ref, b2_ref)
     other = _read_flat(other_ref, bb, None)
+    o_ref[:] = _gate_rows(other, out, wga_ref, wgb_ref, bg_ref).reshape(
+        o_ref.shape).astype(o_ref.dtype)
+
+
+def _gate_rows(other, out, wga_ref, wgb_ref, bg_ref):
+    """att_fuse softmax-gate epilogue over flattened (bb*N, C) rows —
+    the single in-kernel implementation, shared by the bf16 and q8 gated
+    pair kernels (the standalone reference is _gate_xla below): per-channel
+    2-way softmax mix of the two stream outputs (DSTformer.py:340-351)."""
     s = (_dot(other, wga_ref[:]) + _dot(out, wgb_ref[:])
          + bg_ref[0].astype(jnp.float32))               # (bb*N, 2) f32
     s0, s1 = s[:, 0:1], s[:, 1:2]
@@ -138,8 +147,7 @@ def _gated_pair_kernel(num_heads, scale, bb, num_joints, total_tokens, mode,
     inv = 1.0 / (e0 + e1)
     a0 = (e0 * inv).astype(out.dtype)
     a1 = (e1 * inv).astype(out.dtype)
-    o_ref[:] = (other * a0 + out * a1).reshape(o_ref.shape).astype(
-        o_ref.dtype)
+    return other * a0 + out * a1
 
 
 def _pick_pair_batch_block(B, N, C, hidden, itemsize, gated: bool = False,

@@ -2,13 +2,15 @@
 the four projection matmuls (qkv / proj / fc1 / fc2 — ~92% of model FLOPs),
 bf16 for the softmax(QK^T)V core and all elementwise math.
 
-Motivation: the bf16 pair kernels run at ~84% MFU of the chip's measured
-118.1 TFLOP/s bf16 peak — parity x5 vs the A100 baseline is arithmetically
-out of bf16's reach (VERDICT r2). The MXU's int8 mode measures 173.8 TOPS
-(1.47x bf16) at large shapes (tools/probe_peak.py); the batch-flattened
-(bb*N, C) row blocks of ops.fused_pair are exactly the shapes where int8
-stops being starved (the round-2 1.17x rejection was measured at N=136/243
-rows, docs/design.md).
+Motivation: the 5x-A100 north star (600 clips/s = 222 TFLOP/s effective)
+exceeds the chip's bf16 ceiling (measured 116-165 TFLOP/s run to run,
+median ~147 — tools/probe_peak.py), so only lower precision could reach
+it. In practice it doesn't here: at this model's K=512 contractions the
+chip sustains ~115-125 TFLOP/s REGARDLESS of precision (int8's 2x issue
+rate only appears at K>=2048, tools/probe_int8_shapes.py), so this tier
+delivers ~+6% at model level, not 1.47x — shipped as an opt-in serving
+tier with the evidence table in the bench artifact (docs/design.md
+"Roofline accounting").
 
 Scheme (standard W8A8, e.g. LLM.int8()-family serving kernels):
 - weights: per-output-channel symmetric int8, quantized OUTSIDE the kernel
@@ -19,8 +21,11 @@ Scheme (standard W8A8, e.g. LLM.int8()-family serving kernels):
   rank-1 scale product (row_scale x col_scale) fused into the bias add.
 
 Backward: the bf16 fused pair backward (straight-through estimator —
-standard QAT practice; gradient parity is gated by the same fp32-anchor
-tests as the bf16 kernels, tools/verify_kernels.py).
+standard QAT practice). The backward IS the bf16 kernel, covered by its
+fp32-anchor verification (tools/verify_kernels.py); the q8 FORWARD is
+gated on-chip inside every bench run (bench._q8_accuracy: rel err vs the
+fp32 flagship golden must clear Q8_REL_ERR_GATE for the q8 headline) and
+by tests/test_pair_q8.py.
 
 This path is opt-in (attn_impl="pallas_q8"); precision-gated surfaces
 (goldens, tools/parity_gate.py) keep pinning fp32/bf16.
@@ -120,7 +125,7 @@ def _gated_pair_q8_kernel(num_heads, scale, bb, num_joints, total_tokens,
                           bproj_ref, ln2_s_ref, ln2_b_ref, w1_ref, s1_ref,
                           b1_ref, w2_ref, s2_ref, b2_ref, wga_ref, wgb_ref,
                           bg_ref, o_ref):
-    from motionbert_tpu.ops.fused_pair import _read_flat
+    from motionbert_tpu.ops.fused_pair import _gate_rows, _read_flat
 
     N = x_ref.shape[1]
     row_valid, same_mask = (None, None) if mode != "spatial" else \
@@ -133,18 +138,10 @@ def _gated_pair_q8_kernel(num_heads, scale, bb, num_joints, total_tokens,
         ln2_s_ref, ln2_b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
         b2_ref)
     other = _read_flat(other_ref, bb, None)
-    # the gate's (C, 2) dots are negligible: keep them bf16
-    s = (_dot(other, wga_ref[:]) + _dot(out, wgb_ref[:])
-         + bg_ref[0].astype(jnp.float32))
-    s0, s1 = s[:, 0:1], s[:, 1:2]
-    m = jnp.maximum(s0, s1)
-    e0 = jnp.exp(s0 - m)
-    e1 = jnp.exp(s1 - m)
-    inv = 1.0 / (e0 + e1)
-    a0 = (e0 * inv).astype(out.dtype)
-    a1 = (e1 * inv).astype(out.dtype)
-    o_ref[:] = (other * a0 + out * a1).reshape(o_ref.shape).astype(
-        o_ref.dtype)
+    # the gate's (C, 2) dots are negligible: keep them bf16 (_gate_rows is
+    # the single shared epilogue implementation)
+    o_ref[:] = _gate_rows(other, out, wga_ref, wgb_ref, bg_ref).reshape(
+        o_ref.shape).astype(o_ref.dtype)
 
 
 def _q8_launch(kernel_body, x, other, weights, num_heads, scale, mode):

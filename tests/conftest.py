@@ -41,7 +41,8 @@ def pytest_collection_modifyitems(config, items):
     grad parity, heavyweight goldens) so `pytest tests/ -q` stays under
     ~5 minutes; CI-full / pre-release runs pass --runslow (or RUN_SLOW=1)
     for the whole suite."""
-    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+    if config.getoption("--runslow") or \
+            os.environ.get("RUN_SLOW", "") not in ("", "0"):
         return
     skip = pytest.mark.skip(
         reason="slow tier: pass --runslow (or RUN_SLOW=1)")
