@@ -415,12 +415,16 @@ def _load_stage_cache():
 
 
 def _probe_tpu(timeout_s=240.0):
-    """True iff a jax backend initializes within timeout_s.
+    """True iff an ACCELERATOR backend initializes within timeout_s.
 
     Probed in a THROWAWAY subprocess: with the axon plugin registered and
     the TPU tunnel down, backend initialization HANGS (it does not raise),
     so an in-process jax.devices() would wedge the whole bench — and the
-    driver records nothing. A healthy tunnel initializes in seconds."""
+    driver records nothing. A healthy tunnel initializes in seconds.
+
+    A cpu-only fallback (axon failing FAST instead of hanging) also counts
+    as unreachable: silently benchmarking the host CPU would fabricate the
+    chip headline — stale on-chip numbers with provenance are honest."""
     import subprocess
     import sys
     try:
@@ -428,7 +432,8 @@ def _probe_tpu(timeout_s=240.0):
             [sys.executable, "-c",
              "import jax; print(jax.devices()[0].platform)"],
             timeout=timeout_s, capture_output=True, text=True)
-        return proc.returncode == 0
+        return (proc.returncode == 0
+                and proc.stdout.strip().splitlines()[-1] != "cpu")
     except subprocess.TimeoutExpired:
         return False
 
