@@ -503,41 +503,10 @@ def main():
     def remaining():
         return budget - (time.time() - t_start)
 
-    model = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas",
-                      **FLAGSHIP_CONFIG)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 243, 17, 3)))
-
-    batches = (128, 512) if "--full" in sys.argv else (512,)
-    infer = bench_inference(model, variables, batches=batches)
-    best_batch, best = max(infer.items(), key=lambda kv: kv[1])
-    headline_path = "bf16"
-
-    # W8A8 serving tier: headline only if faster AND within the accuracy
-    # gate vs the fp32 reference golden (else recorded as detail evidence)
-    q8_detail = {}
-    if "--no-q8" not in sys.argv:
-        model_q8 = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas_q8",
-                             **FLAGSHIP_CONFIG)
-        infer_q8 = bench_inference(model_q8, variables, batches=(best_batch,))
-        q8_best = infer_q8[best_batch]
-        q8_detail = {"int8_clips_per_sec": round(q8_best, 2),
-                     **_q8_accuracy(),
-                     "q8_rel_err_gate": Q8_REL_ERR_GATE}
-        if q8_best > best and q8_detail["rel_err_q8"] <= Q8_REL_ERR_GATE:
-            best, headline_path = q8_best, "int8-W8A8"
-
-    latency_ms = bench_latency_batch1(model, variables)
-    train_cps = bench_training()
-
-    parity = _verify_kernels_bounded(max(60.0, remaining()))
-
-    # all-task training coverage (action + mesh at their shipped configs),
-    # admitted by the remaining budget; --all-tasks forces them. Stages
-    # that DO run record their result in a stage cache; a budget-skipped
-    # stage reports the most recent measured value, clearly labeled with
-    # its age (same honesty pattern as the kernel-parity fallback) — on
-    # days the tunneled compile service degrades to minutes per program
-    # load, the artifact still carries this round's measured numbers.
+    # Stages that DO run record their result in the stage cache; a
+    # budget-skipped OR failing stage reports the most recent measured
+    # value, clearly labeled with its age — on days the tunneled compile
+    # service degrades, the artifact still carries measured numbers.
     def _stage_fallback(keys, why):
         out = {}
         for k in keys:
@@ -550,10 +519,17 @@ def main():
                 out[k] = f"skipped ({why})"
         return out
 
+    def _save_cache():
+        try:
+            with open(STAGE_CACHE_PATH, "w") as f:
+                json.dump(stage_cache, f)
+        except Exception:
+            pass
+
     def run_stage(keys, fn, est, force):
         if force or remaining() > est:
-            # a failing optional stage must degrade to its cached value,
-            # not kill the headline artifact the driver records
+            # a failing stage must degrade to its cached value, not kill
+            # the headline artifact the driver records
             try:
                 vals = fn()
             except Exception as e:
@@ -565,13 +541,55 @@ def main():
             return dict(zip(keys, vals))
         return _stage_fallback(keys, "budget")
 
-    def _save_cache():
-        try:
-            with open(STAGE_CACHE_PATH, "w") as f:
-                json.dump(stage_cache, f)
-        except Exception:
-            pass
+    # The HEADLINE: if the chip dies mid-measurement the stale-artifact
+    # replay is still a valid driver artifact — never exit silently.
+    try:
+        model = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas",
+                          **FLAGSHIP_CONFIG)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 243, 17, 3)))
+        batches = (128, 512) if "--full" in sys.argv else (512,)
+        infer = bench_inference(model, variables, batches=batches)
+    except Exception as e:
+        sys.stderr.write(f"bench headline failed: {e!r}\n")
+        _emit_stale_artifact(stage_cache)
+        return
+    best_batch, best = max(infer.items(), key=lambda kv: kv[1])
+    headline_path = "bf16"
 
+    # W8A8 serving tier: headline only if faster AND within the accuracy
+    # gate vs the fp32 reference golden (else recorded as detail evidence)
+    q8_detail = {}
+    if "--no-q8" not in sys.argv:
+        try:
+            model_q8 = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas_q8",
+                                 **FLAGSHIP_CONFIG)
+            infer_q8 = bench_inference(model_q8, variables,
+                                       batches=(best_batch,))
+            q8_best = infer_q8[best_batch]
+            q8_detail = {"int8_clips_per_sec": round(q8_best, 2),
+                         **_q8_accuracy(),
+                         "q8_rel_err_gate": Q8_REL_ERR_GATE}
+            if q8_best > best and \
+                    q8_detail["rel_err_q8"] <= Q8_REL_ERR_GATE:
+                best, headline_path = q8_best, "int8-W8A8"
+        except Exception as e:
+            sys.stderr.write(f"bench q8 stage failed: {e!r}\n")
+            q8_detail = {"int8_error": repr(e)[:200]}
+
+    core_stages = {}
+    core_stages.update(run_stage(
+        ("serving_latency_ms_batch1",),
+        lambda: (round(bench_latency_batch1(model, variables), 1),),
+        0, True))
+    core_stages.update(run_stage(
+        ("train_clips_per_sec",),
+        lambda: (round(bench_training(), 2),), 0, True))
+
+    parity = _verify_kernels_bounded(max(60.0, remaining()))
+
+    # all-task training coverage (action + mesh at their shipped configs),
+    # admitted by the remaining budget; --all-tasks forces them.
     extra_tasks = {}
     force = "--all-tasks" in sys.argv
     extra_tasks.update(run_stage(
@@ -599,10 +617,8 @@ def main():
             "per_batch_clips_per_sec": {str(k): round(v, 2)
                                         for k, v in infer.items()},
             **q8_detail,
-            "train_clips_per_sec": round(train_cps, 2),
+            **core_stages,
             **extra_tasks,
-            "serving_latency_ms_batch1": (round(latency_ms, 1)
-                                          if latency_ms else None),
             "dtype": "bfloat16",
             "attn": "pallas-fused",
             "achieved_tflops": round(tflops, 1),
