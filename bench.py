@@ -331,7 +331,15 @@ def _verify_kernels_bounded(timeout_s: float) -> dict:
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         if proc.returncode == 0:
-            return json.loads(proc.stdout.strip().splitlines()[-1])
+            try:
+                out = json.loads(proc.stdout.strip().splitlines()[-1])
+                out.setdefault("status", "pass (no status field)")
+                return out
+            except Exception:
+                # a trailing non-JSON stdout line must degrade, not kill
+                # the whole measured run after the expensive stages
+                return {"status": "FAIL (unparseable verifier output)",
+                        "stdout_tail": proc.stdout[-400:]}
         return {"status": f"FAIL rc={proc.returncode}",
                 "stderr_tail": proc.stderr[-400:]}
     except subprocess.TimeoutExpired:
@@ -357,6 +365,8 @@ def _verify_kernels_bounded(timeout_s: float) -> dict:
         except Exception:
             return {"status": "skipped (compile-service budget exceeded; "
                               "rerun bench for the cached result)"}
+    except Exception as e:  # e.g. OSError spawning the verifier
+        return {"status": f"FAIL (verifier did not run: {e!r:.200})"}
 
 
 def _q8_accuracy():
@@ -415,54 +425,52 @@ def _load_stage_cache():
 
 
 def _probe_tpu(timeout_s=240.0):
-    """True iff an ACCELERATOR backend initializes within timeout_s.
+    """True iff an ACCELERATOR backend initializes within timeout_s (see
+    motionbert_tpu.core.probe). A cpu-only fallback counts as unreachable:
+    silently benchmarking the host CPU would fabricate the chip headline —
+    stale on-chip numbers with provenance are honest."""
+    from motionbert_tpu.core.probe import backend_reachable
 
-    Probed in a THROWAWAY subprocess: with the axon plugin registered and
-    the TPU tunnel down, backend initialization HANGS (it does not raise),
-    so an in-process jax.devices() would wedge the whole bench — and the
-    driver records nothing. A healthy tunnel initializes in seconds.
+    return backend_reachable(timeout_s, reject_cpu_fallback=True)
 
-    A cpu-only fallback (axon failing FAST instead of hanging) also counts
-    as unreachable: silently benchmarking the host CPU would fabricate the
-    chip headline — stale on-chip numbers with provenance are honest."""
-    import subprocess
-    import sys
+
+def _bench_round_key(path):
+    """Sort key for BENCH_r*.json by round NUMBER (lexicographic sorting
+    would rank an unpadded r3 above r10)."""
+    import re
+
+    m = re.search(r"BENCH_r0*(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
+def _emit_stale_artifact(cache, why):
+    """Print the last successful run's artifact, clearly marked stale with
+    its age and the REAL cause — measured numbers with provenance beat a
+    dead process the driver records as nothing. `why` must state the
+    actual failure (tunnel down vs an on-chip error) so a regression can
+    never masquerade as an outage."""
     try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            timeout=timeout_s, capture_output=True, text=True)
-        return (proc.returncode == 0
-                and proc.stdout.strip().splitlines()[-1] != "cpu")
-    except subprocess.TimeoutExpired:
-        return False
-
-
-def _emit_stale_artifact(cache):
-    """Tunnel down: print the last successful run's artifact, clearly
-    marked stale with its age — measured numbers with provenance beat a
-    hung process the driver records as nothing."""
-    prev = cache.get("last_artifact")
-    if prev:
+        prev = cache["last_artifact"]
         age = int(time.time() - prev["at_unix"])
-        art = prev["value"]
+        art = dict(prev["value"])
         art.setdefault("detail", {})["stale"] = (
-            f"TPU backend unreachable at bench time (axon tunnel down); "
-            f"these are the most recent on-chip measurements, {age}s old")
+            f"{why}; these are the most recent on-chip measurements, "
+            f"{age}s old")
         print(json.dumps(art))
         return
+    except Exception:
+        pass
     # last resort: the newest committed round artifact (BENCH_r*.json)
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                       reverse=True):
+                       key=_bench_round_key, reverse=True):
         try:
             with open(path) as f:
                 art = json.load(f)["parsed"]
             art.setdefault("detail", {})["stale"] = (
-                f"TPU backend unreachable at bench time (axon tunnel down); "
-                f"replaying {os.path.basename(path)} — a PREVIOUS round's "
-                f"measurements, not this round's")
+                f"{why}; replaying {os.path.basename(path)} — a PREVIOUS "
+                f"round's measurements, not this round's")
             print(json.dumps(art))
             return
         except Exception:
@@ -470,14 +478,15 @@ def _emit_stale_artifact(cache):
     print(json.dumps(
         {"metric": "243-frame clips/sec/chip (pose3d lift)",
          "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
-         "detail": {"error": "TPU backend unreachable (axon tunnel "
-                             "down) and no cached artifact exists"}}))
+         "detail": {"error": f"{why}, and no cached artifact exists"}}))
 
 
 def main():
     stage_cache = _load_stage_cache()
     if not _probe_tpu():
-        _emit_stale_artifact(stage_cache)
+        _emit_stale_artifact(
+            stage_cache, "TPU backend unreachable at bench time "
+                         "(axon tunnel down)")
         return
 
     from motionbert_tpu.core.cache import enable_compilation_cache
@@ -520,9 +529,13 @@ def main():
         return out
 
     def _save_cache():
+        # atomic (tmp + rename): a mid-write kill must not truncate the
+        # cache and silently discard last_artifact
         try:
-            with open(STAGE_CACHE_PATH, "w") as f:
+            tmp = STAGE_CACHE_PATH + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(stage_cache, f)
+            os.replace(tmp, STAGE_CACHE_PATH)
         except Exception:
             pass
 
@@ -552,7 +565,9 @@ def main():
         infer = bench_inference(model, variables, batches=batches)
     except Exception as e:
         sys.stderr.write(f"bench headline failed: {e!r}\n")
-        _emit_stale_artifact(stage_cache)
+        _emit_stale_artifact(
+            stage_cache, f"bench headline FAILED on-chip ({e!r:.200}) — "
+                         "this is NOT a tunnel outage; investigate")
         return
     best_batch, best = max(infer.items(), key=lambda kv: kv[1])
     headline_path = "bf16"
@@ -636,7 +651,7 @@ def main():
                 "2048x2048x2048": 1.38,
                 "4096x4096x4096": 1.76,
             },
-            "kernel_parity": parity["status"],
+            "kernel_parity": parity.get("status", "unknown"),
             "kernel_parity_detail": {k: v for k, v in parity.items()
                                      if k != "status"},
             "device": str(jax.devices()[0]),

@@ -10,10 +10,10 @@ import json
 import bench
 
 
-def _emit(cache):
+def _emit(cache, why="tunnel down (test)"):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        bench._emit_stale_artifact(cache)
+        bench._emit_stale_artifact(cache, why)
     return json.loads(buf.getvalue())
 
 
@@ -32,6 +32,30 @@ def test_stale_artifact_falls_back_to_committed_round():
     assert art["value"] > 0
     assert art["unit"] == "clips/s"
     assert "PREVIOUS round" in art["detail"]["stale"]
+
+
+def test_stale_artifact_carries_the_real_cause():
+    # a headline failure must never masquerade as a tunnel outage
+    art = _emit({"last_artifact": {
+        "value": {"metric": "m", "value": 1.0, "unit": "clips/s",
+                  "vs_baseline": 0.01, "detail": {}}, "at_unix": 0}},
+        why="bench headline FAILED on-chip (OOM) — investigate")
+    assert "FAILED on-chip" in art["detail"]["stale"]
+    assert "tunnel" not in art["detail"]["stale"]
+
+
+def test_stale_artifact_survives_schema_mismatched_cache():
+    # a corrupt/old-schema cache must fall through, not crash the one
+    # path that must always emit a JSON line
+    art = _emit({"last_artifact": {"bogus": True}})
+    assert art["value"] > 0  # fell through to the committed round artifact
+    assert "PREVIOUS round" in art["detail"]["stale"]
+
+
+def test_bench_round_key_sorts_numerically():
+    paths = ["BENCH_r3.json", "BENCH_r10.json", "BENCH_r02.json"]
+    newest = max(paths, key=bench._bench_round_key)
+    assert newest == "BENCH_r10.json"
 
 
 def test_stale_artifact_keeps_driver_schema():
