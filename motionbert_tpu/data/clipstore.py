@@ -38,10 +38,15 @@ def build_native(force: bool = False) -> str:
         raise FileNotFoundError(f"cannot (re)build {so}: missing {src}")
     if force or not os.path.exists(so) or (
             os.path.getmtime(src) > os.path.getmtime(so)):
+        # compile to a per-pid temp then rename: two processes building
+        # concurrently (e.g. parallel trainers on a fresh checkout) must
+        # not read each other's half-written .so
+        tmp = f"{so}.{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread", "-shared",
-             "-o", so, src],
+             "-o", tmp, src],
             check=True, capture_output=True)
+        os.replace(tmp, so)
     return so
 
 
