@@ -93,7 +93,8 @@ class Mlp(nn.Module):
         # lane-aligned channel dim
         # pallas_q8 quantizes only inside the pair kernels; standalone MLP
         # sub-blocks still take the bf16 fused kernel (beats unfused Dense)
-        if self.impl in ("pallas", "pallas_q8") and C % 128 == 0 and \
+        if self.impl in ("pallas", "pallas_q8", "pallas_stream") \
+                and C % 128 == 0 and \
                 (self.drop == 0.0 or deterministic):
             w1, b1 = DenseParams(C, self.hidden_features, name="fc1")()
             w2, b2 = DenseParams(self.hidden_features, self.out_features,
@@ -206,7 +207,7 @@ class Attention(nn.Module):
 
         fusable = C % 128 == 0  # Pallas lane alignment
         if self.mode in ("spatial", "temporal") and fusable \
-                and self.attn_impl in ("pallas", "pallas_q8"):
+                and self.attn_impl in ("pallas", "pallas_q8", "pallas_stream"):
             # fully fused path: [LN +] qkv matmul + attention +
             # out-projection [+ residual] in one kernel; raw params share
             # nn.Dense's tree layout
@@ -358,8 +359,16 @@ class Block(nn.Module):
                                      self.drop_path == 0.0)
         C = x.shape[-1]
         hidden = int(self.dim * self.mlp_ratio)
-        pair = (fuse_res and C % 128 == 0 and hidden % 128 == 0
-                and self.attn_impl in ("pallas", "pallas_q8"))
+        fusable = fuse_res and C % 128 == 0 and hidden % 128 == 0
+        # opt-in whole-stream fusion: both pairs (+ gate) in ONE kernel
+        # (ops.fused_stream); falls back to the pair path when the shape
+        # preconditions fail
+        stream = (fusable and len(order) == 2
+                  and self.attn_impl == "pallas_stream")
+        if stream:
+            return self._stream(x, order, gate)
+        pair = (fusable and self.attn_impl in
+                ("pallas", "pallas_q8", "pallas_stream"))
         pair_fn, gated_fn = fused_pair_block, fused_gated_pair_block
         if self.attn_impl == "pallas_q8":
             # opt-in W8A8 forward (straight-through bf16 backward); see
@@ -405,6 +414,37 @@ class Block(nn.Module):
             other, wg, bg = gate
             x = _gate_xla(other.astype(x.dtype), x, wg, bg)
         return x
+
+    def _stream(self, x, order, gate):
+        """Whole-stream fusion: both of this block's attention+MLP pairs
+        (and the optional att_fuse gate) in one Pallas kernel — the
+        inter-pair activation never touches HBM (ops.fused_stream)."""
+        from motionbert_tpu.ops.fused_stream import (
+            fused_gated_stream_block, fused_stream_block)
+
+        C = x.shape[-1]
+        scale = self.qk_scale if self.qk_scale is not None \
+            else (C // self.num_heads) ** -0.5
+        dt = self.dtype
+        ps = []
+        for axis in order:
+            attn = self.attn_s if axis == "s" else self.attn_t
+            mlp = self.mlp_s if axis == "s" else self.mlp_t
+            ln1 = (self.norm1_s if axis == "s" else self.norm1_t)()
+            ln2 = (self.norm2_s if axis == "s" else self.norm2_t)()
+            wqkv, bqkv, wproj, bproj = attn(x, return_params=True)
+            w1, b1, w2, b2 = mlp(x, return_params=True)
+            ps += [ln1[0], ln1[1], wqkv.astype(dt), bqkv.astype(dt),
+                   wproj.astype(dt), bproj.astype(dt), ln2[0], ln2[1],
+                   w1.astype(dt), b1.astype(dt), w2.astype(dt),
+                   b2.astype(dt)]
+        if gate is not None:
+            other, wg, bg = gate
+            return fused_gated_stream_block(
+                x.astype(dt), other.astype(dt), *ps, wg.astype(dt),
+                bg.astype(dt), self.num_heads, scale, tuple(order))
+        return fused_stream_block(x.astype(dt), *ps, self.num_heads,
+                                  scale, tuple(order))
 
     def __call__(self, x, deterministic: bool = True, gate=None):
         from motionbert_tpu.ops.attention import layer_norm

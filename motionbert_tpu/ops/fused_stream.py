@@ -1,0 +1,315 @@
+"""Stream-fused DSTformer kernel: one stream's TWO (attention+MLP) pair
+sub-blocks — spatial and temporal, in either order — plus the optional
+att_fuse gate epilogue, in ONE Pallas kernel with the whole clip resident
+in VMEM.
+
+Why: on the pair-kernel path each DSTformer layer round-trips ~38 MB/clip
+of sub-block boundary activations through HBM (x is read by both streams;
+each stream's intermediate is written and re-read; the gate reads the twin
+stream) — ~190 MB/clip over depth 5 ≈ 0.6 ms at the chip's measured
+~310 GB/s against a ~3.4 ms bf16 forward, partially DMA-hidden (model-level
+~107 TF/s vs 115-119 in-kernel). Fusing each stream's two pairs removes the
+intra-stream boundary: per layer the traffic drops 37.8 -> 21 MB/clip.
+
+Layout strategy (the part a TPU compile must validate): the resident clip
+stays in the (F, J*C) view for the WHOLE kernel, so crossing the
+spatial<->temporal boundary never transposes or reshapes across the lane
+dim (Mosaic relayouts of a (F*J, C) <-> (F, J*C) view move lane data across
+sublanes and are the known-risky lowering):
+
+- temporal groups read/write lane-aligned COLUMN slabs [:, j*C:(j+1)*C]
+  (C % 128 == 0 is a precondition, as on the pair path);
+- spatial tiles read a row slab [f0:f0+tf, :] and regroup it into j-major
+  (J*tf, C) token rows by concatenating its J column slices — pure
+  lane-aligned slices + sublane-aligned concats (tf = 16 keeps bf16 row
+  slices on 16-sublane tile boundaries).
+
+Pass 1 writes the output block; pass 2 updates it in place (its groups
+partition rows/columns, so in-place is race-free within one program). The
+inter-pair activation is rounded to the compute dtype exactly where the
+pair path rounds it for the HBM round trip, so the stream kernel's output
+matches the two-pair composition's bit-for-bit rounding points.
+
+Grouping: projections/MLP matmuls still batch multiple attention groups
+into one (rows, C) matmul (`ks` spatial tiles / `kt` temporal joints per
+_pair_rows call) — the MXU-utilization lever from the pair kernels — but
+the whole-clip residency (x + out [+ other] blocks + both pairs' weights)
+leaves less VMEM for transients than the pair launches had, so row counts
+per matmul are lower (243-544 vs the pair path's up to 972). Whether the
+saved HBM boundary traffic outweighs that is an empirical question; this
+kernel is therefore OPT-IN (attn_impl="pallas_stream") until measured
+faster on the real chip (bench.py records the comparison either way).
+
+Backward (custom VJP): recompute pass-1's output with the standalone pair
+kernel and chain the two existing fused pair backward kernels — exactly
+the gradient of the two-pair composition. Training stays on the pair path
+by default (the extra pass-1 forward kernel makes the stream VJP strictly
+more HBM traffic than the pair VJPs); the stream kernel targets the
+inference/serving path.
+
+Behavior parity target: /root/reference/lib/model/DSTformer.py:214-267
+(Block stage_st/stage_ts) + 340-351 (att_fuse gate).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from motionbert_tpu.ops.attention import _on_tpu, _vmem_params
+from motionbert_tpu.ops.fused_pair import (
+    _gate_rows, _gate_xla, _pair_bwd_pallas, _pair_pallas, _pair_rows,
+    _pair_xla)
+
+# Spatial frame tile: 16 frames/tile keeps every row slice of the resident
+# bf16 (F, J*C) block on a (16, 128) tile boundary (the pair kernels' tf=8
+# would halve the mask-padded score work but slices bf16 tiles mid-sublane).
+STREAM_TF = 16
+
+# VMEM budget for the group picker. 26 MB mirrors the pair forward's
+# proven envelope (compiles under the 28 MB compiler limit on this chip);
+# probe higher on real hardware before raising.
+STREAM_BUDGET = 26 << 20
+
+
+def _pick_stream_groups(F, J, C, hidden, itemsize, gated):
+    """(tf, ks, kt): spatial frame tile, spatial tiles per matmul group,
+    temporal joints per matmul group, sized so resident blocks + weights +
+    one group's f32 transients fit STREAM_BUDGET. The two passes run
+    sequentially, so each pass's transients can use the full remainder."""
+    tf = min(STREAM_TF, F)
+    fpad = -(-F // 16) * 16  # sublane padding of the resident blocks
+    resident = (3 if gated else 2) * fpad * J * C * itemsize
+    resident += 2 * (3 * C * C + C * C + 2 * C * hidden) * itemsize
+    per_row = (3 * C + hidden + 3 * C) * 4 + 4 * C * itemsize
+    avail = max(STREAM_BUDGET - resident, 0)
+    ks = max(1, min(4, avail // max(tf * J * per_row, 1)))
+    kt = max(1, min(8, avail // max(F * per_row, 1)))
+    return tf, int(ks), int(kt)
+
+
+def _same_frame_mask_jmajor(nf, J):
+    """(J*nf, J*nf) same-frame select mask for j-major token rows
+    (r = j*nf + f): frame id is r % nf."""
+    N = nf * J
+    r = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    return (r % nf) == (c % nf)
+
+
+def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C,
+                   *refs):
+    """Grid (B,): one whole clip per program. refs: x, [other], 12 pass-1
+    params, 12 pass-2 params, [wga, wgb, bg], out."""
+    if gated:
+        x_ref, other_ref = refs[0], refs[1]
+        p1, p2 = refs[2:14], refs[14:26]
+        wga_ref, wgb_ref, bgg_ref = refs[26:29]
+        o_ref = refs[29]
+    else:
+        x_ref, other_ref = refs[0], None
+        p1, p2 = refs[1:13], refs[13:25]
+        wga_ref = wgb_ref = bgg_ref = None
+        o_ref = refs[25]
+    F = x_ref.shape[1]
+
+    def gather_spatial(ref, f0, nf):
+        # (nf, J*C) row slab -> (J*nf, C) j-major token rows
+        slab = ref[0, f0:f0 + nf, :]
+        return jnp.concatenate(
+            [slab[:, j * C:(j + 1) * C] for j in range(J)], axis=0)
+
+    def scatter_spatial(rows, f0, nf):
+        # (J*nf, C) j-major token rows -> one (nf, J*C) row-slab write
+        slab = jnp.concatenate(
+            [rows[j * nf:(j + 1) * nf, :] for j in range(J)], axis=1)
+        o_ref[0, f0:f0 + nf, :] = slab.astype(o_ref.dtype)
+
+    def spatial_pass(src_ref, params, gate_here):
+        tiles = [(f0, min(tf, F - f0)) for f0 in range(0, F, tf)]
+        full = [t for t in tiles if t[1] == tf]
+        tail = [t for t in tiles if t[1] != tf]
+        groups = [full[i:i + ks] for i in range(0, len(full), ks)]
+        groups += [[t] for t in tail]
+        for grp in groups:
+            nf = grp[0][1]
+            parts = [gather_spatial(src_ref, f0, nf) for f0, _ in grp]
+            xg = parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=0)
+            mask = _same_frame_mask_jmajor(nf, J)
+            out = _pair_rows(xg, len(grp), num_heads, scale, mask, *params)
+            if gate_here:
+                op = [gather_spatial(other_ref, f0, nf) for f0, _ in grp]
+                og = op[0] if len(op) == 1 else jnp.concatenate(op, axis=0)
+                out = _gate_rows(og, out, wga_ref, wgb_ref, bgg_ref)
+            n = J * nf
+            for i, (f0, _) in enumerate(grp):
+                scatter_spatial(out[i * n:(i + 1) * n], f0, nf)
+
+    def temporal_pass(src_ref, params, gate_here):
+        for j0 in range(0, J, kt):
+            g = min(kt, J - j0)
+            slab = src_ref[0, :, j0 * C:(j0 + g) * C]   # (F, g*C)
+            xg = jnp.concatenate(
+                [slab[:, i * C:(i + 1) * C] for i in range(g)], axis=0)
+            out = _pair_rows(xg, g, num_heads, scale, None, *params)
+            if gate_here:
+                osl = other_ref[0, :, j0 * C:(j0 + g) * C]
+                og = jnp.concatenate(
+                    [osl[:, i * C:(i + 1) * C] for i in range(g)], axis=0)
+                out = _gate_rows(og, out, wga_ref, wgb_ref, bgg_ref)
+            res = jnp.concatenate(
+                [out[i * F:(i + 1) * F] for i in range(g)], axis=1)
+            o_ref[0, :, j0 * C:(j0 + g) * C] = res.astype(o_ref.dtype)
+
+    run = {"s": spatial_pass, "t": temporal_pass}
+    run[order[0]](x_ref, p1, False)
+    run[order[1]](o_ref, p2, gated)
+
+
+def _stream_pallas(x, other, p1, p2, wg, bg, num_heads, scale, order):
+    """Launch the stream kernel. other/wg/bg of None -> ungated."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gated = other is not None
+    B, F, J, C = x.shape
+    hidden = p1[8].shape[1]
+    tf, ks, kt = _pick_stream_groups(F, J, C, hidden, x.dtype.itemsize,
+                                     gated)
+    x3 = x.reshape(B, F, J * C)
+    x_spec = pl.BlockSpec((1, F, J * C), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda b: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+    def param_ops(p):
+        (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
+         w1, b1, w2, b2) = p
+        specs = [const((1, C)), const((1, C)), const(wqkv.shape),
+                 const((1, bqkv.shape[-1])), const(wproj.shape),
+                 const((1, bproj.shape[-1])), const((1, C)), const((1, C)),
+                 const(w1.shape), const((1, b1.shape[-1])), const(w2.shape),
+                 const((1, b2.shape[-1]))]
+        arrs = [ln1_s.reshape(1, -1), ln1_b.reshape(1, -1), wqkv,
+                bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
+                ln2_s.reshape(1, -1), ln2_b.reshape(1, -1), w1,
+                b1.reshape(1, -1), w2, b2.reshape(1, -1)]
+        return specs, arrs
+
+    s1, a1 = param_ops(p1)
+    s2, a2 = param_ops(p2)
+    in_specs = [x_spec] + ([x_spec] if gated else []) + s1 + s2
+    inputs = [x3] + ([other.reshape(B, F, J * C)] if gated else []) \
+        + a1 + a2
+    if gated:
+        in_specs += [const((C, 2)), const((C, 2)), const((1, 2))]
+        inputs += [wg[:C], wg[C:], bg.reshape(1, -1)]
+
+    out = pl.pallas_call(
+        functools.partial(_stream_kernel, num_heads, scale, J, order,
+                          gated, tf, ks, kt, C),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((B, F, J * C), x.dtype),
+        compiler_params=_vmem_params(28 << 20),
+        interpret=not _on_tpu(),
+    )(*inputs)
+    return out.reshape(B, F, J, C)
+
+
+def _stream_xla(x, other, p1, p2, wg, bg, num_heads, scale, order):
+    """Reference composition: two pair sub-blocks + gate, all XLA."""
+    mode1 = "spatial" if order[0] == "s" else "temporal"
+    mode2 = "spatial" if order[1] == "s" else "temporal"
+    y = _pair_xla(x, *p1, num_heads, scale, mode1)
+    out = _pair_xla(y, *p2, num_heads, scale, mode2)
+    if other is not None:
+        out = _gate_xla(other.astype(out.dtype), out, wg, bg)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(25, 26, 27))
+def fused_stream_block(x, ln1_sa, ln1_ba, wqkva, bqkva, wproja, bproja,
+                       ln2_sa, ln2_ba, w1a, b1a, w2a, b2a,
+                       ln1_sb, ln1_bb, wqkvb, bqkvb, wprojb, bprojb,
+                       ln2_sb, ln2_bb, w1b, b1b, w2b, b2b,
+                       num_heads, scale, order):
+    """One DSTformer stream (two attention+MLP pairs, axis order `order`
+    in {("s","t"), ("t","s")}) in one kernel. Params a/b belong to the
+    first/second pass respectively, each in fused_pair_block's order."""
+    p1 = (ln1_sa, ln1_ba, wqkva, bqkva, wproja, bproja, ln2_sa, ln2_ba,
+          w1a, b1a, w2a, b2a)
+    p2 = (ln1_sb, ln1_bb, wqkvb, bqkvb, wprojb, bprojb, ln2_sb, ln2_bb,
+          w1b, b1b, w2b, b2b)
+    return _stream_pallas(x, None, p1, p2, None, None, num_heads, scale,
+                          order)
+
+
+def _stream_fwd(*args):
+    out = fused_stream_block(*args)
+    return out, args[:25]
+
+
+def _stream_bwd(num_heads, scale, order, res, g):
+    x, *ps = res
+    p1, p2 = tuple(ps[:12]), tuple(ps[12:])
+    mode1 = "spatial" if order[0] == "s" else "temporal"
+    mode2 = "spatial" if order[1] == "s" else "temporal"
+    y = _pair_pallas(x, *p1, num_heads, scale, mode1)
+    g2 = _pair_bwd_pallas(y, None, g, *p2, None, None, num_heads, scale,
+                          mode2)
+    g1 = _pair_bwd_pallas(x, None, g2["dx"], *p1, None, None, num_heads,
+                          scale, mode1)
+    keys = ("dls1", "dlb1", "dwqkv", "dbqkv", "dwproj", "dbproj", "dls2",
+            "dlb2", "dw1", "db1", "dw2", "db2")
+    return (g1["dx"],) + tuple(g1[k] for k in keys) \
+        + tuple(g2[k] for k in keys)
+
+
+fused_stream_block.defvjp(_stream_fwd, _stream_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(28, 29, 30))
+def fused_gated_stream_block(x, other, ln1_sa, ln1_ba, wqkva, bqkva,
+                             wproja, bproja, ln2_sa, ln2_ba, w1a, b1a,
+                             w2a, b2a, ln1_sb, ln1_bb, wqkvb, bqkvb,
+                             wprojb, bprojb, ln2_sb, ln2_bb, w1b, b1b,
+                             w2b, b2b, wg, bg, num_heads, scale, order):
+    """fused_stream_block + the layer's att_fuse gate against the twin
+    stream `other` in the SAME kernel (reference DSTformer.py:340-351).
+    wg: (2C, 2), rows [:C] scoring `other`; bg: (2,)."""
+    p1 = (ln1_sa, ln1_ba, wqkva, bqkva, wproja, bproja, ln2_sa, ln2_ba,
+          w1a, b1a, w2a, b2a)
+    p2 = (ln1_sb, ln1_bb, wqkvb, bqkvb, wprojb, bprojb, ln2_sb, ln2_bb,
+          w1b, b1b, w2b, b2b)
+    return _stream_pallas(x, other, p1, p2, wg, bg, num_heads, scale,
+                          order)
+
+
+def _gated_stream_fwd(*args):
+    out = fused_gated_stream_block(*args)
+    return out, args[:28]
+
+
+def _gated_stream_bwd(num_heads, scale, order, res, g):
+    x, other, *ps = res
+    p1, p2 = tuple(ps[:12]), tuple(ps[12:24])
+    wg, bg = ps[24], ps[25]
+    mode1 = "spatial" if order[0] == "s" else "temporal"
+    mode2 = "spatial" if order[1] == "s" else "temporal"
+    y = _pair_pallas(x, *p1, num_heads, scale, mode1)
+    g2 = _pair_bwd_pallas(y, other, g, *p2, wg, bg, num_heads, scale,
+                          mode2)
+    g1 = _pair_bwd_pallas(x, None, g2["dx"], *p1, None, None, num_heads,
+                          scale, mode1)
+    keys = ("dls1", "dlb1", "dwqkv", "dbqkv", "dwproj", "dbproj", "dls2",
+            "dlb2", "dw1", "db1", "dw2", "db2")
+    return (g1["dx"], g2["dother"]) + tuple(g1[k] for k in keys) \
+        + tuple(g2[k] for k in keys) + (g2["dwg"], g2["dbg"])
+
+
+fused_gated_stream_block.defvjp(_gated_stream_fwd, _gated_stream_bwd)

@@ -1,0 +1,157 @@
+"""Stream-fused kernel (ops.fused_stream): one stream's two attention+MLP
+pairs (+ optional att_fuse gate) in one kernel vs the pair-kernel and XLA
+compositions, including gradients through the chained-pair custom VJP and
+the model-level pallas_stream impl."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionbert_tpu.ops.fused_pair import (
+    _gate_xla, _pair_xla, fused_gated_pair_block, fused_pair_block)
+from motionbert_tpu.ops.fused_stream import (
+    _stream_xla, fused_gated_stream_block, fused_stream_block)
+
+
+def _mk(shape, seed):
+    return jnp.asarray(
+        np.random.RandomState(seed).normal(size=shape), jnp.float32)
+
+
+def _pair_params(C, seed0):
+    ln1 = (_mk((C,), seed0) * 0.1 + 1.0, _mk((C,), seed0 + 1) * 0.1)
+    wqkv, bqkv = _mk((C, 3 * C), seed0 + 2) * 0.1, \
+        _mk((3 * C,), seed0 + 3) * 0.1
+    wproj, bproj = _mk((C, C), seed0 + 4) * 0.1, _mk((C,), seed0 + 5) * 0.1
+    ln2 = (_mk((C,), seed0 + 6) * 0.1 + 1.0, _mk((C,), seed0 + 7) * 0.1)
+    w1, b1 = _mk((C, 2 * C), seed0 + 8) * 0.1, _mk((2 * C,), seed0 + 9) * 0.1
+    w2, b2 = _mk((2 * C, C), seed0 + 10) * 0.1, _mk((C,), seed0 + 11) * 0.1
+    return (*ln1, wqkv, bqkv, wproj, bproj, *ln2, w1, b1, w2, b2)
+
+
+# F=19 exercises the spatial tail tile (16 + 3) and an odd temporal length;
+# F=9 runs entirely in one short tile (tf = min(16, F)).
+@pytest.mark.parametrize("order", [("s", "t"), ("t", "s")])
+@pytest.mark.parametrize("F", [9, 19])
+def test_stream_matches_pair_composition(order, F):
+    B, J, C, H = 2, 17, 32, 4
+    x = _mk((B, F, J, C), 0)
+    p1 = _pair_params(C, 100)
+    p2 = _pair_params(C, 200)
+    scale = (C // H) ** -0.5
+    out = fused_stream_block(x, *p1, *p2, H, scale, order)
+
+    mode1 = "spatial" if order[0] == "s" else "temporal"
+    mode2 = "spatial" if order[1] == "s" else "temporal"
+    y = fused_pair_block(x, *p1, H, scale, mode1)
+    ref_pair = fused_pair_block(y, *p2, H, scale, mode2)
+    # identical rounding points -> near-bitwise agreement with the pair path
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_pair),
+                               atol=2e-6, rtol=2e-6)
+    ref_xla = _stream_xla(x, None, p1, p2, None, None, H, scale, order)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_xla),
+                               atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("order", [("s", "t"), ("t", "s")])
+def test_gated_stream_matches_composition(order):
+    B, F, J, C, H = 2, 19, 17, 32, 4
+    x = _mk((B, F, J, C), 0)
+    other = _mk((B, F, J, C), 1)
+    p1 = _pair_params(C, 100)
+    p2 = _pair_params(C, 200)
+    wg, bg = _mk((2 * C, 2), 300) * 0.1, _mk((2,), 301) * 0.1 + 0.5
+    scale = (C // H) ** -0.5
+    out = fused_gated_stream_block(x, other, *p1, *p2, wg, bg, H, scale,
+                                   order)
+
+    mode1 = "spatial" if order[0] == "s" else "temporal"
+    mode2 = "spatial" if order[1] == "s" else "temporal"
+    y = fused_pair_block(x, *p1, H, scale, mode1)
+    ref_pair = fused_gated_pair_block(y, other, *p2, wg, bg, H, scale,
+                                      mode2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_pair),
+                               atol=2e-6, rtol=2e-6)
+    ref_xla = _stream_xla(x, other, p1, p2, wg, bg, H, scale, order)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_xla),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_stream_grads_match_xla():
+    B, F, J, C, H = 2, 19, 17, 32, 4
+    order = ("s", "t")
+    x = _mk((B, F, J, C), 0)
+    p1 = _pair_params(C, 100)
+    p2 = _pair_params(C, 200)
+    scale = (C // H) ** -0.5
+
+    def loss_k(x, p1, p2):
+        return jnp.sum(fused_stream_block(x, *p1, *p2, H, scale, order) ** 2)
+
+    def loss_x(x, p1, p2):
+        return jnp.sum(_stream_xla(x, None, p1, p2, None, None, H, scale,
+                                   order) ** 2)
+
+    g1 = jax.grad(loss_k, argnums=(0, 1, 2))(x, p1, p2)
+    g2 = jax.grad(loss_x, argnums=(0, 1, 2))(x, p1, p2)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=2e-4)
+
+
+def test_gated_stream_grads_match_xla():
+    B, F, J, C, H = 2, 9, 17, 32, 4
+    order = ("t", "s")
+    x = _mk((B, F, J, C), 0)
+    other = _mk((B, F, J, C), 1)
+    p1 = _pair_params(C, 100)
+    p2 = _pair_params(C, 200)
+    wg, bg = _mk((2 * C, 2), 300) * 0.1, _mk((2,), 301) * 0.1 + 0.5
+    scale = (C // H) ** -0.5
+
+    def loss_k(x, other, p1, p2, wg, bg):
+        return jnp.sum(fused_gated_stream_block(
+            x, other, *p1, *p2, wg, bg, H, scale, order) ** 2)
+
+    def loss_x(x, other, p1, p2, wg, bg):
+        return jnp.sum(_stream_xla(x, other, p1, p2, wg, bg, H, scale,
+                                   order) ** 2)
+
+    g1 = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4, 5))(
+        x, other, p1, p2, wg, bg)
+    g2 = jax.grad(loss_x, argnums=(0, 1, 2, 3, 4, 5))(
+        x, other, p1, p2, wg, bg)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_model_level_stream_impl_matches_pallas():
+    """DSTformer(attn_impl='pallas_stream') == 'pallas' == 'xla' on the
+    same params — and the param tree is impl-independent (checkpoint
+    interchangeability)."""
+    from motionbert_tpu.models.dstformer import DSTformer
+
+    kw = dict(dim_in=3, dim_out=3, dim_feat=128, dim_rep=128, depth=2,
+              num_heads=8, mlp_ratio=2.0, num_joints=17, maxlen=27,
+              att_fuse=True)
+    x = _mk((2, 19, 17, 3), 0)
+    m_stream = DSTformer(attn_impl="pallas_stream", **kw)
+    m_pallas = DSTformer(attn_impl="pallas", **kw)
+    m_xla = DSTformer(attn_impl="xla", **kw)
+    params = m_xla.init(jax.random.PRNGKey(0), x)
+    ref = m_xla.apply(params, x)
+    out_p = m_pallas.apply(params, x)
+    out_s = m_stream.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_p),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+    # identical param trees: init under the stream impl matches xla's
+    p2 = m_stream.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p2) == \
+        jax.tree_util.tree_structure(params)
