@@ -369,12 +369,12 @@ def _verify_kernels_bounded(timeout_s: float) -> dict:
         return {"status": f"FAIL (verifier did not run: {e!r:.200})"}
 
 
-def _q8_accuracy():
+def _q8_accuracy(impls=(("bf16", "pallas"), ("q8", "pallas_q8"))):
     """W8A8 accuracy gate on the flagship golden (reference-converted
-    weights, fp32 torch output): rel errs of the bf16 and q8 serving paths
-    vs the golden, plus the q8 mean per-joint displacement in the golden's
-    (normalized, root-relative) output units. The q8 headline is only
-    taken when rel_err_q8 clears Q8_REL_ERR_GATE."""
+    weights, fp32 torch output): rel errs of the given serving paths vs
+    the golden, plus each quantized path's mean per-joint displacement in
+    the golden's (normalized, root-relative) output units. A quantized
+    headline is only taken when its rel err clears Q8_REL_ERR_GATE."""
     import jax.numpy as jnp
 
     from motionbert_tpu.models.convert import torch_state_dict_to_flax
@@ -395,13 +395,13 @@ def _q8_accuracy():
                num_heads=8, mlp_ratio=2, num_joints=17,
                maxlen=z["sd:temp_embed"].shape[1])
     res = {}
-    for name, impl in (("bf16", "pallas"), ("q8", "pallas_q8")):
+    for name, impl in impls:
         m = DSTformer(dtype=jnp.bfloat16, attn_impl=impl, **cfg)
         y = np.asarray(m.apply(variables, x), np.float32)
         res[f"rel_err_{name}"] = round(
             float(np.linalg.norm(y - out) / np.linalg.norm(out)), 5)
-        if name == "q8":
-            res["q8_mean_joint_disp"] = round(
+        if name != "bf16":
+            res[f"{name}_mean_joint_disp"] = round(
                 float(np.linalg.norm(y - out, axis=-1).mean()), 5)
     return res
 
@@ -616,9 +616,27 @@ def main():
                              "stream_vs_pair_rel_err": round(rel, 5)}
             if s_best > best and rel <= 0.02:
                 best, headline_path = s_best, "bf16-stream"
+            # combined W8A8 + stream tier: int8 projections AND the
+            # removed intra-stream boundary (the halved weight residency
+            # also buys larger in-kernel matmul groups). Gated on the
+            # same fp32-golden accuracy check as the q8 pair tier.
+            if "--no-q8" not in sys.argv and "int8_error" not in q8_detail \
+                    and remaining() > 120:
+                acc = _q8_accuracy(
+                    impls=(("q8_stream", "pallas_stream_q8"),))
+                model_sq8 = DSTformer(dtype=jnp.bfloat16,
+                                      attn_impl="pallas_stream_q8",
+                                      **FLAGSHIP_CONFIG)
+                sq8 = bench_inference(model_sq8, variables,
+                                      batches=(best_batch,))[best_batch]
+                stream_detail.update(
+                    {"stream_q8_clips_per_sec": round(sq8, 2), **acc})
+                if sq8 > best and acc["rel_err_q8_stream"] <= \
+                        Q8_REL_ERR_GATE:
+                    best, headline_path = sq8, "int8-W8A8-stream"
         except Exception as e:
             sys.stderr.write(f"bench stream stage failed: {e!r}\n")
-            stream_detail = {"stream_error": repr(e)[:200]}
+            stream_detail["stream_error"] = repr(e)[:200]
 
     core_stages = {}
     core_stages.update(run_stage(

@@ -93,7 +93,8 @@ class Mlp(nn.Module):
         # lane-aligned channel dim
         # pallas_q8 quantizes only inside the pair kernels; standalone MLP
         # sub-blocks still take the bf16 fused kernel (beats unfused Dense)
-        if self.impl in ("pallas", "pallas_q8", "pallas_stream") \
+        if self.impl in ("pallas", "pallas_q8", "pallas_stream",
+                         "pallas_stream_q8") \
                 and C % 128 == 0 and \
                 (self.drop == 0.0 or deterministic):
             w1, b1 = DenseParams(C, self.hidden_features, name="fc1")()
@@ -207,7 +208,8 @@ class Attention(nn.Module):
 
         fusable = C % 128 == 0  # Pallas lane alignment
         if self.mode in ("spatial", "temporal") and fusable \
-                and self.attn_impl in ("pallas", "pallas_q8", "pallas_stream"):
+                and self.attn_impl in ("pallas", "pallas_q8", "pallas_stream",
+                                       "pallas_stream_q8"):
             # fully fused path: [LN +] qkv matmul + attention +
             # out-projection [+ residual] in one kernel; raw params share
             # nn.Dense's tree layout
@@ -363,14 +365,15 @@ class Block(nn.Module):
         # opt-in whole-stream fusion: both pairs (+ gate) in ONE kernel
         # (ops.fused_stream); falls back to the pair path when the shape
         # preconditions fail
-        stream = (fusable and len(order) == 2
-                  and self.attn_impl == "pallas_stream")
+        stream = (fusable and len(order) == 2 and self.attn_impl
+                  in ("pallas_stream", "pallas_stream_q8"))
         if stream:
             return self._stream(x, order, gate)
         pair = (fusable and self.attn_impl in
-                ("pallas", "pallas_q8", "pallas_stream"))
+                ("pallas", "pallas_q8", "pallas_stream",
+                 "pallas_stream_q8"))
         pair_fn, gated_fn = fused_pair_block, fused_gated_pair_block
-        if self.attn_impl == "pallas_q8":
+        if self.attn_impl in ("pallas_q8", "pallas_stream_q8"):
             # opt-in W8A8 forward (straight-through bf16 backward); see
             # ops.pair_q8 for the quantization scheme and its gating
             from motionbert_tpu.ops.pair_q8 import (
@@ -418,9 +421,17 @@ class Block(nn.Module):
     def _stream(self, x, order, gate):
         """Whole-stream fusion: both of this block's attention+MLP pairs
         (and the optional att_fuse gate) in one Pallas kernel — the
-        inter-pair activation never touches HBM (ops.fused_stream)."""
-        from motionbert_tpu.ops.fused_stream import (
-            fused_gated_stream_block, fused_stream_block)
+        inter-pair activation never touches HBM (ops.fused_stream). The
+        _q8 impl additionally runs the projections W8A8 (ops.pair_q8's
+        scheme) with a straight-through bf16 backward."""
+        from motionbert_tpu.ops import fused_stream as fs
+
+        if self.attn_impl == "pallas_stream_q8":
+            stream_fn = fs.fused_stream_block_q8
+            gated_fn = fs.fused_gated_stream_block_q8
+        else:
+            stream_fn = fs.fused_stream_block
+            gated_fn = fs.fused_gated_stream_block
 
         C = x.shape[-1]
         scale = self.qk_scale if self.qk_scale is not None \
@@ -440,11 +451,11 @@ class Block(nn.Module):
                    b2.astype(dt)]
         if gate is not None:
             other, wg, bg = gate
-            return fused_gated_stream_block(
+            return gated_fn(
                 x.astype(dt), other.astype(dt), *ps, wg.astype(dt),
                 bg.astype(dt), self.num_heads, scale, tuple(order))
-        return fused_stream_block(x.astype(dt), *ps, self.num_heads,
-                                  scale, tuple(order))
+        return stream_fn(x.astype(dt), *ps, self.num_heads,
+                         scale, tuple(order))
 
     def __call__(self, x, deterministic: bool = True, gate=None):
         from motionbert_tpu.ops.attention import layer_norm

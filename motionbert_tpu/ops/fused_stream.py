@@ -74,15 +74,17 @@ STREAM_TF = 16
 STREAM_BUDGET = 26 << 20
 
 
-def _pick_stream_groups(F, J, C, hidden, itemsize, gated):
+def _pick_stream_groups(F, J, C, hidden, itemsize, gated, q8=False):
     """(tf, ks, kt): spatial frame tile, spatial tiles per matmul group,
     temporal joints per matmul group, sized so resident blocks + weights +
     one group's f32 transients fit STREAM_BUDGET. The two passes run
-    sequentially, so each pass's transients can use the full remainder."""
+    sequentially, so each pass's transients can use the full remainder.
+    q8 weights are int8 (half the bf16 residency), buying larger groups."""
     tf = min(STREAM_TF, F)
     fpad = -(-F // 16) * 16  # sublane padding of the resident blocks
     resident = (3 if gated else 2) * fpad * J * C * itemsize
-    resident += 2 * (3 * C * C + C * C + 2 * C * hidden) * itemsize
+    w_elems = 3 * C * C + C * C + 2 * C * hidden
+    resident += 2 * (w_elems if q8 else w_elems * itemsize)
     per_row = (3 * C + hidden + 3 * C) * 4 + 4 * C * itemsize
     avail = max(STREAM_BUDGET - resident, 0)
     ks = max(1, min(4, avail // max(tf * J * per_row, 1)))
@@ -99,20 +101,25 @@ def _same_frame_mask_jmajor(nf, J):
     return (r % nf) == (c % nf)
 
 
-def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C,
+def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C, q8,
                    *refs):
-    """Grid (B,): one whole clip per program. refs: x, [other], 12 pass-1
-    params, 12 pass-2 params, [wga, wgb, bg], out."""
+    """Grid (B,): one whole clip per program. refs: x, [other], pass-1
+    params, pass-2 params (12 each, 16 when q8: + per-channel weight
+    scales), [wga, wgb, bg], out."""
+    from motionbert_tpu.ops.pair_q8 import _pair_rows_q8
+
+    rows_fn = _pair_rows_q8 if q8 else _pair_rows
+    n = 16 if q8 else 12
+    base = 2 if gated else 1
+    x_ref = refs[0]
+    other_ref = refs[1] if gated else None
+    p1, p2 = refs[base:base + n], refs[base + n:base + 2 * n]
     if gated:
-        x_ref, other_ref = refs[0], refs[1]
-        p1, p2 = refs[2:14], refs[14:26]
-        wga_ref, wgb_ref, bgg_ref = refs[26:29]
-        o_ref = refs[29]
+        wga_ref, wgb_ref, bgg_ref = refs[base + 2 * n:base + 2 * n + 3]
+        o_ref = refs[base + 2 * n + 3]
     else:
-        x_ref, other_ref = refs[0], None
-        p1, p2 = refs[1:13], refs[13:25]
         wga_ref = wgb_ref = bgg_ref = None
-        o_ref = refs[25]
+        o_ref = refs[base + 2 * n]
     F = x_ref.shape[1]
 
     def gather_spatial(ref, f0, nf):
@@ -139,7 +146,7 @@ def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C,
             xg = parts[0] if len(parts) == 1 else \
                 jnp.concatenate(parts, axis=0)
             mask = _same_frame_mask_jmajor(nf, J)
-            out = _pair_rows(xg, len(grp), num_heads, scale, mask, *params)
+            out = rows_fn(xg, len(grp), num_heads, scale, mask, *params)
             if gate_here:
                 op = [gather_spatial(other_ref, f0, nf) for f0, _ in grp]
                 og = op[0] if len(op) == 1 else jnp.concatenate(op, axis=0)
@@ -154,7 +161,7 @@ def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C,
             slab = src_ref[0, :, j0 * C:(j0 + g) * C]   # (F, g*C)
             xg = jnp.concatenate(
                 [slab[:, i * C:(i + 1) * C] for i in range(g)], axis=0)
-            out = _pair_rows(xg, g, num_heads, scale, None, *params)
+            out = rows_fn(xg, g, num_heads, scale, None, *params)
             if gate_here:
                 osl = other_ref[0, :, j0 * C:(j0 + g) * C]
                 og = jnp.concatenate(
@@ -169,8 +176,12 @@ def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C,
     run[order[1]](o_ref, p2, gated)
 
 
-def _stream_pallas(x, other, p1, p2, wg, bg, num_heads, scale, order):
-    """Launch the stream kernel. other/wg/bg of None -> ungated."""
+def _stream_pallas(x, other, p1, p2, wg, bg, num_heads, scale, order,
+                   q8=False):
+    """Launch the stream kernel. other/wg/bg of None -> ungated. p1/p2 are
+    the raw 12-param pair tuples either way; q8 quantizes the four weight
+    matrices per pair OUTSIDE the pallas_call (jit-hoistable, like
+    pair_q8._q8_launch)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -178,7 +189,7 @@ def _stream_pallas(x, other, p1, p2, wg, bg, num_heads, scale, order):
     B, F, J, C = x.shape
     hidden = p1[8].shape[1]
     tf, ks, kt = _pick_stream_groups(F, J, C, hidden, x.dtype.itemsize,
-                                     gated)
+                                     gated, q8)
     x3 = x.reshape(B, F, J * C)
     x_spec = pl.BlockSpec((1, F, J * C), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -188,20 +199,29 @@ def _stream_pallas(x, other, p1, p2, wg, bg, num_heads, scale, order):
     def param_ops(p):
         (ln1_s, ln1_b, wqkv, bqkv, wproj, bproj, ln2_s, ln2_b,
          w1, b1, w2, b2) = p
-        specs = [const((1, C)), const((1, C)), const(wqkv.shape),
-                 const((1, bqkv.shape[-1])), const(wproj.shape),
-                 const((1, bproj.shape[-1])), const((1, C)), const((1, C)),
-                 const(w1.shape), const((1, b1.shape[-1])), const(w2.shape),
-                 const((1, b2.shape[-1]))]
-        arrs = [ln1_s.reshape(1, -1), ln1_b.reshape(1, -1), wqkv,
-                bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
-                ln2_s.reshape(1, -1), ln2_b.reshape(1, -1), w1,
-                b1.reshape(1, -1), w2, b2.reshape(1, -1)]
-        return specs, arrs
+        if q8:
+            from motionbert_tpu.ops.pair_q8 import quant_cols
 
-    s1, a1 = param_ops(p1)
-    s2, a2 = param_ops(p2)
-    in_specs = [x_spec] + ([x_spec] if gated else []) + s1 + s2
+            wqkv8, sqkv = quant_cols(wqkv)
+            wproj8, sproj = quant_cols(wproj)
+            w18, s1 = quant_cols(w1)
+            w28, s2 = quant_cols(w2)
+            arrs = [ln1_s.reshape(1, -1), ln1_b.reshape(1, -1),
+                    wqkv8, sqkv, bqkv.reshape(1, -1),
+                    wproj8, sproj, bproj.reshape(1, -1),
+                    ln2_s.reshape(1, -1), ln2_b.reshape(1, -1),
+                    w18, s1, b1.reshape(1, -1),
+                    w28, s2, b2.reshape(1, -1)]
+        else:
+            arrs = [ln1_s.reshape(1, -1), ln1_b.reshape(1, -1), wqkv,
+                    bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
+                    ln2_s.reshape(1, -1), ln2_b.reshape(1, -1), w1,
+                    b1.reshape(1, -1), w2, b2.reshape(1, -1)]
+        return [const(a.shape) for a in arrs], arrs
+
+    s1_, a1 = param_ops(p1)
+    s2_, a2 = param_ops(p2)
+    in_specs = [x_spec] + ([x_spec] if gated else []) + s1_ + s2_
     inputs = [x3] + ([other.reshape(B, F, J * C)] if gated else []) \
         + a1 + a2
     if gated:
@@ -210,7 +230,7 @@ def _stream_pallas(x, other, p1, p2, wg, bg, num_heads, scale, order):
 
     out = pl.pallas_call(
         functools.partial(_stream_kernel, num_heads, scale, J, order,
-                          gated, tf, ks, kt, C),
+                          gated, tf, ks, kt, C, q8),
         grid=(B,),
         in_specs=in_specs,
         out_specs=x_spec,
@@ -313,3 +333,54 @@ def _gated_stream_bwd(num_heads, scale, order, res, g):
 
 
 fused_gated_stream_block.defvjp(_gated_stream_fwd, _gated_stream_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(25, 26, 27))
+def fused_stream_block_q8(x, ln1_sa, ln1_ba, wqkva, bqkva, wproja, bproja,
+                          ln2_sa, ln2_ba, w1a, b1a, w2a, b2a,
+                          ln1_sb, ln1_bb, wqkvb, bqkvb, wprojb, bprojb,
+                          ln2_sb, ln2_bb, w1b, b1b, w2b, b2b,
+                          num_heads, scale, order):
+    """W8A8 forward of fused_stream_block (same signature, bf16/f32
+    weights in; quantization internal — see ops.pair_q8 for the scheme).
+    Combines the two opt-in levers: int8 projections AND the removed
+    intra-stream HBM boundary; the halved weight residency also buys the
+    group picker larger matmul groups. Backward: straight-through bf16
+    (the chained pair backwards), as on the q8 pair path."""
+    p1 = (ln1_sa, ln1_ba, wqkva, bqkva, wproja, bproja, ln2_sa, ln2_ba,
+          w1a, b1a, w2a, b2a)
+    p2 = (ln1_sb, ln1_bb, wqkvb, bqkvb, wprojb, bprojb, ln2_sb, ln2_bb,
+          w1b, b1b, w2b, b2b)
+    return _stream_pallas(x, None, p1, p2, None, None, num_heads, scale,
+                          order, q8=True)
+
+
+def _stream_q8_fwd(*args):
+    out = fused_stream_block_q8(*args)
+    return out, args[:25]
+
+
+fused_stream_block_q8.defvjp(_stream_q8_fwd, _stream_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(28, 29, 30))
+def fused_gated_stream_block_q8(x, other, ln1_sa, ln1_ba, wqkva, bqkva,
+                                wproja, bproja, ln2_sa, ln2_ba, w1a, b1a,
+                                w2a, b2a, ln1_sb, ln1_bb, wqkvb, bqkvb,
+                                wprojb, bprojb, ln2_sb, ln2_bb, w1b, b1b,
+                                w2b, b2b, wg, bg, num_heads, scale, order):
+    """W8A8 forward of fused_gated_stream_block."""
+    p1 = (ln1_sa, ln1_ba, wqkva, bqkva, wproja, bproja, ln2_sa, ln2_ba,
+          w1a, b1a, w2a, b2a)
+    p2 = (ln1_sb, ln1_bb, wqkvb, bqkvb, wprojb, bprojb, ln2_sb, ln2_bb,
+          w1b, b1b, w2b, b2b)
+    return _stream_pallas(x, other, p1, p2, wg, bg, num_heads, scale,
+                          order, q8=True)
+
+
+def _gated_stream_q8_fwd(*args):
+    out = fused_gated_stream_block_q8(*args)
+    return out, args[:28]
+
+
+fused_gated_stream_block_q8.defvjp(_gated_stream_q8_fwd, _gated_stream_bwd)

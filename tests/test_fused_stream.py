@@ -129,6 +129,70 @@ def test_gated_stream_grads_match_xla():
                                    rtol=2e-4)
 
 
+@pytest.mark.parametrize("order", [("s", "t"), ("t", "s")])
+def test_stream_q8_matches_pair_q8_composition(order):
+    """W8A8 stream kernel vs the two q8 pair kernels chained. NOT bitwise:
+    the stream kernel's j-major spatial rows reorder the f32 softmax
+    reductions by an epsilon, and per-row int8 quantization is
+    DISCONTINUOUS — an epsilon input shift can flip a rounded int8 by one
+    step (~1 part in 127 of the row scale). Tolerance reflects one-step
+    quantization flips, far below the q8 tier's own ~1-3% forward error."""
+    from motionbert_tpu.ops.fused_stream import fused_stream_block_q8
+    from motionbert_tpu.ops.pair_q8 import fused_pair_block_q8
+
+    B, F, J, C, H = 2, 19, 17, 32, 4
+    x = _mk((B, F, J, C), 0)
+    p1 = _pair_params(C, 100)
+    p2 = _pair_params(C, 200)
+    scale = (C // H) ** -0.5
+    out = fused_stream_block_q8(x, *p1, *p2, H, scale, order)
+    mode1 = "spatial" if order[0] == "s" else "temporal"
+    mode2 = "spatial" if order[1] == "s" else "temporal"
+    y = fused_pair_block_q8(x, *p1, H, scale, mode1)
+    ref = fused_pair_block_q8(y, *p2, H, scale, mode2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-2, rtol=1e-2)
+
+
+def test_gated_stream_q8_matches_composition_and_bf16_grads():
+    """Gated W8A8 stream == gated q8 pair composition; its straight-through
+    backward is BY CONSTRUCTION the bf16 stream backward — assert the
+    gradients agree exactly (catches defvjp wiring/arity mistakes)."""
+    from motionbert_tpu.ops.fused_stream import (
+        fused_gated_stream_block, fused_gated_stream_block_q8)
+    from motionbert_tpu.ops.pair_q8 import (
+        fused_gated_pair_block_q8, fused_pair_block_q8)
+
+    B, F, J, C, H = 2, 9, 17, 32, 4
+    order = ("t", "s")
+    x = _mk((B, F, J, C), 0)
+    other = _mk((B, F, J, C), 1)
+    p1 = _pair_params(C, 100)
+    p2 = _pair_params(C, 200)
+    wg, bg = _mk((2 * C, 2), 300) * 0.1, _mk((2,), 301) * 0.1 + 0.5
+    scale = (C // H) ** -0.5
+    out = fused_gated_stream_block_q8(x, other, *p1, *p2, wg, bg, H, scale,
+                                      order)
+    y = fused_pair_block_q8(x, *p1, H, scale, "temporal")
+    ref = fused_gated_pair_block_q8(y, other, *p2, wg, bg, H, scale,
+                                    "spatial")
+    # one-step int8 quantization flips (see the ungated test's docstring)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-2, rtol=1e-2)
+
+    # same fixed cotangent through both VJPs: the q8 backward IS the bf16
+    # stream backward (identical function and residuals), so the pullbacks
+    # must agree exactly
+    ct = _mk((B, F, J, C), 7)
+    _, vjp_q8 = jax.vjp(lambda a, b: fused_gated_stream_block_q8(
+        a, b, *p1, *p2, wg, bg, H, scale, order), x, other)
+    _, vjp_bf = jax.vjp(lambda a, b: fused_gated_stream_block(
+        a, b, *p1, *p2, wg, bg, H, scale, order), x, other)
+    for a, b in zip(vjp_q8(ct), vjp_bf(ct)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_model_level_stream_impl_matches_pallas():
     """DSTformer(attn_impl='pallas_stream') == 'pallas' == 'xla' on the
@@ -155,3 +219,9 @@ def test_model_level_stream_impl_matches_pallas():
     p2 = m_stream.init(jax.random.PRNGKey(0), x)
     assert jax.tree_util.tree_structure(p2) == \
         jax.tree_util.tree_structure(params)
+    # combined W8A8+stream impl tracks the q8 pair impl (same quantization
+    # scheme; tolerance covers one-step int8 flips from row regrouping)
+    out_q8s = DSTformer(attn_impl="pallas_stream_q8", **kw).apply(params, x)
+    out_q8 = DSTformer(attn_impl="pallas_q8", **kw).apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_q8s), np.asarray(out_q8),
+                               atol=2e-2, rtol=2e-2)

@@ -73,12 +73,19 @@ def _p(w, tag):
     return tuple(w[f"{tag}{k}"] for k in keys)
 
 
-def probe(batch, F, iters, order=("s", "t"), gated=False):
+def probe(batch, F, iters, order=("s", "t"), gated=False, q8=False):
     import jax
     import jax.numpy as jnp
 
     from motionbert_tpu.ops import fused_pair as fp
     from motionbert_tpu.ops import fused_stream as fs
+    from motionbert_tpu.ops import pair_q8 as pq
+
+    sfn = fs.fused_stream_block_q8 if q8 else fs.fused_stream_block
+    gsfn = fs.fused_gated_stream_block_q8 if q8 \
+        else fs.fused_gated_stream_block
+    pfn = pq.fused_pair_block_q8 if q8 else fp.fused_pair_block
+    gpfn = pq.fused_gated_pair_block_q8 if q8 else fp.fused_gated_pair_block
 
     rs = np.random.RandomState(0)
     w = {**make_weights(rs, jnp.bfloat16, "a."),
@@ -92,19 +99,16 @@ def probe(batch, F, iters, order=("s", "t"), gated=False):
 
     def stream_step(wt, x):
         if gated:
-            return fs.fused_gated_stream_block(
-                x, x, *_p(wt, "a."), *_p(wt, "b."), wt["wg"], wt["bg"],
-                H, SCALE, order)
-        return fs.fused_stream_block(x, *_p(wt, "a."), *_p(wt, "b."),
-                                     H, SCALE, order)
+            return gsfn(x, x, *_p(wt, "a."), *_p(wt, "b."), wt["wg"],
+                        wt["bg"], H, SCALE, order)
+        return sfn(x, *_p(wt, "a."), *_p(wt, "b."), H, SCALE, order)
 
     def pair_step(wt, x):
-        y = fp.fused_pair_block(x, *_p(wt, "a."), H, SCALE, mode1)
+        y = pfn(x, *_p(wt, "a."), H, SCALE, mode1)
         if gated:
-            return fp.fused_gated_pair_block(y, x, *_p(wt, "b."),
-                                             wt["wg"], wt["bg"], H, SCALE,
-                                             mode2)
-        return fp.fused_pair_block(y, *_p(wt, "b."), H, SCALE, mode2)
+            return gpfn(y, x, *_p(wt, "b."), wt["wg"], wt["bg"], H, SCALE,
+                        mode2)
+        return pfn(y, *_p(wt, "b."), H, SCALE, mode2)
 
     # on-chip equivalence first: a silently-wrong lowering must not be
     # "measured" as a win
@@ -119,7 +123,7 @@ def probe(batch, F, iters, order=("s", "t"), gated=False):
     at = tokens * 4 * C * ((fs.STREAM_TF if "s" in order else 0) * J + F)
     flops = mm + at
     out = {"rel_err_vs_pair": rel,
-           "groups": fs._pick_stream_groups(F, J, C, HID, 2, gated)}
+           "groups": fs._pick_stream_groups(F, J, C, HID, 2, gated, q8)}
     for name, step in (("stream", stream_step), ("pair_x2", pair_step)):
         sec = _time_chain(step, w, x0, iters)
         out[name] = dict(ms=round(sec * 1e3, 2),
@@ -137,6 +141,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--order", default="s,t")
     ap.add_argument("--gated", action="store_true")
+    ap.add_argument("--q8", action="store_true",
+                    help="probe the W8A8 stream kernel vs the q8 pairs")
     ap.add_argument("--budget", type=int, default=None,
                     help="override fused_stream.STREAM_BUDGET (bytes)")
     ap.add_argument("--tf", type=int, default=None,
@@ -159,13 +165,13 @@ def main():
     if args.ks is not None or args.kt is not None:
         orig = fs._pick_stream_groups
 
-        def pick(F, J, C, hidden, itemsize, gated):
-            tf, ks, kt = orig(F, J, C, hidden, itemsize, gated)
+        def pick(F, J, C, hidden, itemsize, gated, q8=False):
+            tf, ks, kt = orig(F, J, C, hidden, itemsize, gated, q8)
             return (tf, args.ks or ks, args.kt or kt)
 
         fs._pick_stream_groups = pick
     res = probe(args.batch, args.frames, args.iters,
-                tuple(args.order.split(",")), args.gated)
+                tuple(args.order.split(",")), args.gated, args.q8)
     print(json.dumps(res))
 
 
