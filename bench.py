@@ -136,9 +136,12 @@ def bench_serving_concurrent(model, variables, n_threads=48, per_thread=12):
     from motionbert_tpu.serve import BatchingServer
 
     fwd = jax.jit(lambda v, x: model.apply(v, x))
-    buckets = (1, 8, 32)  # largest bucket ~= n_threads so batches fill;
-    # every dispatch still pays the axon tunnel's ms-scale RPC overhead,
-    # which is exactly what a real serving deployment here would pay
+    # largest bucket == n_threads so steady-state closed-loop batches can
+    # fill completely (with a 32-cap the 48 submitters split 32+16 and the
+    # measurement understated the configuration); every dispatch still pays
+    # the axon tunnel's ms-scale RPC overhead, which is exactly what a real
+    # serving deployment here would pay
+    buckets = (1, 8, n_threads)
 
     def fetch(y):  # host fetch closes every dispatch (see _chain)
         return float(jnp.ravel(y)[0].astype(jnp.float32))
@@ -453,6 +456,11 @@ def _emit_stale_artifact(cache, why):
         prev = cache["last_artifact"]
         age = int(time.time() - prev["at_unix"])
         art = dict(prev["value"])
+        # machine-readable staleness at the TOP level (not just the detail
+        # prose): a driver consuming the documented schema must be able to
+        # distinguish a replay from a fresh measurement
+        art["stale"] = True
+        art["measured_at_unix"] = int(prev["at_unix"])
         art.setdefault("detail", {})["stale"] = (
             f"{why}; these are the most recent on-chip measurements, "
             f"{age}s old")
@@ -468,6 +476,8 @@ def _emit_stale_artifact(cache, why):
         try:
             with open(path) as f:
                 art = json.load(f)["parsed"]
+            art["stale"] = True
+            art["measured_at_unix"] = art.get("measured_at_unix")
             art.setdefault("detail", {})["stale"] = (
                 f"{why}; replaying {os.path.basename(path)} — a PREVIOUS "
                 f"round's measurements, not this round's")
@@ -477,7 +487,8 @@ def _emit_stale_artifact(cache, why):
             continue
     print(json.dumps(
         {"metric": "243-frame clips/sec/chip (pose3d lift)",
-         "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0,
+         "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0, "stale": True,
+         "measured_at_unix": None,
          "detail": {"error": f"{why}, and no cached artifact exists"}}))
 
 
@@ -667,11 +678,23 @@ def main():
         90, force))
 
     tflops = best * FWD_GFLOP_PER_CLIP / 1000.0
+    # label the precision/kernel of the path that actually TOOK the
+    # headline (an int8 winner must not be reported as bfloat16)
+    path_labels = {
+        "bf16": ("bfloat16", "pallas-fused-pair"),
+        "int8-W8A8": ("int8 W8A8 (bf16 activations)", "pallas-fused-pair-q8"),
+        "bf16-stream": ("bfloat16", "pallas-stream-fused"),
+        "int8-W8A8-stream": ("int8 W8A8 (bf16 activations)",
+                             "pallas-stream-fused-q8"),
+    }
+    dtype_label, attn_label = path_labels[headline_path]
     artifact = {
         "metric": "243-frame clips/sec/chip (pose3d lift)",
         "value": round(best, 2),
         "unit": "clips/s",
         "vs_baseline": round(best / A100_REFERENCE_CLIPS_PER_SEC, 3),
+        "stale": False,
+        "measured_at_unix": int(time.time()),
         "detail": {
             "batch": best_batch,
             "headline_path": headline_path,
@@ -681,8 +704,8 @@ def main():
             **stream_detail,
             **core_stages,
             **extra_tasks,
-            "dtype": "bfloat16",
-            "attn": "pallas-fused",
+            "dtype": dtype_label,
+            "attn": attn_label,
             "achieved_tflops": round(tflops, 1),
             "mfu_vs_chip_peak": round(tflops / CHIP_BF16_TFLOPS, 3),
             # why the 5x north star is out of reach on this chip, as

@@ -79,17 +79,49 @@ def _pick_stream_groups(F, J, C, hidden, itemsize, gated, q8=False):
     temporal joints per matmul group, sized so resident blocks + weights +
     one group's f32 transients fit STREAM_BUDGET. The two passes run
     sequentially, so each pass's transients can use the full remainder.
-    q8 weights are int8 (half the bf16 residency), buying larger groups."""
+    q8 weights are int8 (half the bf16 residency), buying larger groups.
+
+    Returns None when the configuration is INFEASIBLE — the resident
+    blocks + weights plus even a single minimum-size group's transients
+    exceed the budget (e.g. fp32 inputs or clips much longer than 243
+    frames). Callers fall back to the pair-kernel composition instead of
+    launching a kernel the compiler would reject past its VMEM cap."""
     tf = min(STREAM_TF, F)
     fpad = -(-F // 16) * 16  # sublane padding of the resident blocks
     resident = (3 if gated else 2) * fpad * J * C * itemsize
     w_elems = 3 * C * C + C * C + 2 * C * hidden
     resident += 2 * (w_elems if q8 else w_elems * itemsize)
     per_row = (3 * C + hidden + 3 * C) * 4 + 4 * C * itemsize
-    avail = max(STREAM_BUDGET - resident, 0)
-    ks = max(1, min(4, avail // max(tf * J * per_row, 1)))
-    kt = max(1, min(8, avail // max(F * per_row, 1)))
+    avail = STREAM_BUDGET - resident
+    # minimum viable launch: ks=1 spatial group (tf*J rows) for one pass,
+    # kt=1 temporal group (F rows) for the other
+    if avail < max(tf * J, F) * per_row:
+        return None
+    ks = max(1, min(4, avail // (tf * J * per_row)))
+    kt = max(1, min(8, avail // (F * per_row)))
     return tf, int(ks), int(kt)
+
+
+def _stream_pairs_fallback(x, other, p1, p2, wg, bg, num_heads, scale,
+                           order, q8=False):
+    """Pair-kernel composition for shapes the stream picker rejects:
+    numerically the pair path itself (the automatic-fallback convention —
+    ops.attention falls back to XLA the same way for unaligned channels)."""
+    from motionbert_tpu.ops.fused_pair import (fused_gated_pair_block,
+                                               fused_pair_block)
+
+    if q8:
+        from motionbert_tpu.ops.pair_q8 import (fused_gated_pair_block_q8,
+                                                fused_pair_block_q8)
+        pair_fn, gated_fn = fused_pair_block_q8, fused_gated_pair_block_q8
+    else:
+        pair_fn, gated_fn = fused_pair_block, fused_gated_pair_block
+    mode1 = "spatial" if order[0] == "s" else "temporal"
+    mode2 = "spatial" if order[1] == "s" else "temporal"
+    y = pair_fn(x, *p1, num_heads, scale, mode1)
+    if other is None:
+        return pair_fn(y, *p2, num_heads, scale, mode2)
+    return gated_fn(y, other, *p2, wg, bg, num_heads, scale, mode2)
 
 
 def _same_frame_mask_jmajor(nf, J):
@@ -188,8 +220,12 @@ def _stream_pallas(x, other, p1, p2, wg, bg, num_heads, scale, order,
     gated = other is not None
     B, F, J, C = x.shape
     hidden = p1[8].shape[1]
-    tf, ks, kt = _pick_stream_groups(F, J, C, hidden, x.dtype.itemsize,
-                                     gated, q8)
+    picked = _pick_stream_groups(F, J, C, hidden, x.dtype.itemsize,
+                                 gated, q8)
+    if picked is None:  # whole-clip residency exceeds the VMEM budget
+        return _stream_pairs_fallback(x, other, p1, p2, wg, bg, num_heads,
+                                      scale, order, q8)
+    tf, ks, kt = picked
     x3 = x.reshape(B, F, J * C)
     x_spec = pl.BlockSpec((1, F, J * C), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)

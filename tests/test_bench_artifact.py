@@ -24,6 +24,10 @@ def test_stale_artifact_prefers_cached_run():
         "at_unix": 0}})
     assert art["value"] == 300.9
     assert "most recent on-chip" in art["detail"]["stale"]
+    # machine-readable: a consumer of the top-level schema must be able to
+    # tell a replay from a fresh measurement without parsing detail prose
+    assert art["stale"] is True
+    assert art["measured_at_unix"] == 0
 
 
 def test_stale_artifact_falls_back_to_committed_round():
@@ -32,6 +36,7 @@ def test_stale_artifact_falls_back_to_committed_round():
     assert art["value"] > 0
     assert art["unit"] == "clips/s"
     assert "PREVIOUS round" in art["detail"]["stale"]
+    assert art["stale"] is True
 
 
 def test_stale_artifact_carries_the_real_cause():
@@ -63,5 +68,7 @@ def test_stale_artifact_keeps_driver_schema():
             "value": {"metric": "m", "value": 1.0, "unit": "clips/s",
                       "vs_baseline": 0.01, "detail": {}}, "at_unix": 0}}):
         art = _emit(cache)
-        for key in ("metric", "value", "unit", "vs_baseline", "detail"):
+        for key in ("metric", "value", "unit", "vs_baseline", "detail",
+                    "stale", "measured_at_unix"):
             assert key in art
+        assert art["stale"] is True

@@ -225,3 +225,49 @@ def test_model_level_stream_impl_matches_pallas():
     out_q8 = DSTformer(attn_impl="pallas_q8", **kw).apply(params, x)
     np.testing.assert_allclose(np.asarray(out_q8s), np.asarray(out_q8),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_infeasible_budget_falls_back_to_pair_path(monkeypatch):
+    """A configuration whose whole-clip residency exceeds the VMEM budget
+    (picker returns None) must silently take the pair-kernel composition —
+    the automatic-fallback convention — instead of launching a kernel the
+    compiler would reject. The fallback IS the pair path, so agreement is
+    exact."""
+    from motionbert_tpu.ops import fused_stream as fs
+    from motionbert_tpu.ops.pair_q8 import (fused_gated_pair_block_q8,
+                                            fused_pair_block_q8)
+
+    B, F, J, C, H = 2, 19, 17, 32, 4
+    order = ("s", "t")
+    x = _mk((B, F, J, C), 0)
+    other = _mk((B, F, J, C), 1)
+    p1 = _pair_params(C, 100)
+    p2 = _pair_params(C, 200)
+    wg, bg = _mk((2 * C, 2), 300) * 0.1, _mk((2,), 301) * 0.1 + 0.5
+    scale = (C // H) ** -0.5
+
+    monkeypatch.setattr(fs, "STREAM_BUDGET", 1 << 10)  # nothing fits
+    assert fs._pick_stream_groups(F, J, C, 2 * C, 4, gated=False) is None
+
+    out = fs.fused_stream_block(x, *p1, *p2, H, scale, order)
+    y = fused_pair_block(x, *p1, H, scale, "spatial")
+    ref = fused_pair_block(y, *p2, H, scale, "temporal")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    out_g = fs.fused_gated_stream_block(x, other, *p1, *p2, wg, bg, H,
+                                        scale, order)
+    ref_g = fused_gated_pair_block(y, other, *p2, wg, bg, H, scale,
+                                   "temporal")
+    np.testing.assert_array_equal(np.asarray(out_g), np.asarray(ref_g))
+
+    out_q8 = fs.fused_gated_stream_block_q8(x, other, *p1, *p2, wg, bg, H,
+                                            scale, order)
+    y8 = fused_pair_block_q8(x, *p1, H, scale, "spatial")
+    ref_q8 = fused_gated_pair_block_q8(y8, other, *p2, wg, bg, H, scale,
+                                       "temporal")
+    np.testing.assert_array_equal(np.asarray(out_q8), np.asarray(ref_q8))
+
+    # gradients still flow through the fallback (custom VJP unaffected)
+    g = jax.grad(lambda a: jnp.sum(
+        fs.fused_stream_block(a, *p1, *p2, H, scale, order) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()

@@ -55,6 +55,9 @@ def timeit(fn, x, *ws, reps=3):
 
 
 def main():
+    from motionbert_tpu.core.probe import require_backend
+
+    require_backend(tool="tools/probe_int8_shapes.py")  # tunnel-down => hang (CLAUDE.md)
     from motionbert_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()

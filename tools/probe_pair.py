@@ -195,6 +195,9 @@ def main():
                          "(ops/fused_pair.SPATIAL_TF_BWD)")
     args = ap.parse_args()
 
+    from motionbert_tpu.core.probe import require_backend
+
+    require_backend(tool="tools/probe_pair.py")  # tunnel-down => hang (CLAUDE.md)
     from motionbert_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -45,6 +45,9 @@ INNER = 64
 if __name__ == "__main__":
     import sys
     sys.path.insert(0, ".")
+    from motionbert_tpu.core.probe import require_backend
+
+    require_backend(tool="tools/probe_peak.py")  # tunnel-down => hang
     from motionbert_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()

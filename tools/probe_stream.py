@@ -153,6 +153,9 @@ def main():
                     help="force temporal joints per matmul group")
     args = ap.parse_args()
 
+    from motionbert_tpu.core.probe import require_backend
+
+    require_backend(tool="tools/probe_stream.py")  # tunnel-down => hang (CLAUDE.md)
     from motionbert_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -166,7 +169,10 @@ def main():
         orig = fs._pick_stream_groups
 
         def pick(F, J, C, hidden, itemsize, gated, q8=False):
-            tf, ks, kt = orig(F, J, C, hidden, itemsize, gated, q8)
+            got = orig(F, J, C, hidden, itemsize, gated, q8)
+            if got is None:  # infeasible -> pair-path fallback
+                return None
+            tf, ks, kt = got
             return (tf, args.ks or ks, args.kt or kt)
 
         fs._pick_stream_groups = pick

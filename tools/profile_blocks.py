@@ -39,6 +39,9 @@ def timeit(fn, *args, reps=3):
 
 
 def main():
+    from motionbert_tpu.core.probe import require_backend
+
+    require_backend(tool="tools/profile_blocks.py")  # tunnel-down => hang (CLAUDE.md)
     from motionbert_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -48,6 +48,9 @@ def chain(fn, x0):
 
 
 def main():
+    from motionbert_tpu.core.probe import require_backend
+
+    require_backend(tool="tools/profile_train.py")  # tunnel-down => hang (CLAUDE.md)
     from motionbert_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()

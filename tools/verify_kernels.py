@@ -159,6 +159,9 @@ if __name__ == "__main__":
     import time
 
     sys.path.insert(0, ".")
+    from motionbert_tpu.core.probe import require_backend
+
+    require_backend(tool="tools/verify_kernels.py")  # tunnel-down => hang
     from motionbert_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
