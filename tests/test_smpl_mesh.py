@@ -177,6 +177,38 @@ def test_evaluate_mesh_calibration():
     assert err2["mpjpe"] < 1e-6 and err2["mpve"] < 1e-6
 
 
+def test_evaluate_mesh_golden():
+    """Golden parity vs the reference evaluate_mesh / compute_error(_frames)
+    (utils_mesh.py:357-438) on f16-pinned random pred/GT batches at the
+    real 6890-vertex topology: pins the h36m_17_to_14 subset, root-relative
+    conventions, and the rigid_align Procrustes path end to end."""
+    import os
+
+    from motionbert_tpu.losses.mesh import (compute_error,
+                                            compute_error_frames,
+                                            evaluate_mesh)
+
+    z = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "mesh_eval.npz"))
+    results = {k: z[k].astype(np.float32)
+               for k in ("verts", "verts_gt", "kp_3d", "kp_3d_gt")}
+    err = evaluate_mesh(results)
+    for k in ("mpve", "mpjpe", "pa_mpjpe", "mpjpe_17j", "pa_mpjpe_17j"):
+        np.testing.assert_allclose(err[k], float(z[f"em_{k}"]), rtol=1e-5), k
+    # the PA metrics must actually exercise the alignment (the golden's
+    # pred is a similarity transform of GT + small noise)
+    assert err["pa_mpjpe"] < 0.1 * err["mpjpe"]
+
+    smpl_out = {"verts": results["verts"], "kp_3d": results["kp_3d"]}
+    gt = {"verts": results["verts_gt"], "kp_3d": results["kp_3d_gt"]}
+    mpjpe, mpve = compute_error(smpl_out, gt)
+    np.testing.assert_allclose(mpjpe, float(z["ce_mpjpe"]), rtol=1e-5)
+    np.testing.assert_allclose(mpve, float(z["ce_mpve"]), rtol=1e-5)
+    mpjpes, mpves = compute_error_frames(smpl_out, gt)
+    np.testing.assert_allclose(mpjpes, z["cef_mpjpes"], rtol=1e-5)
+    np.testing.assert_allclose(mpves, z["cef_mpves"], rtol=1e-5)
+
+
 def test_flip_tta_eval_step():
     from motionbert_tpu.models.dstformer import DSTformer
     from motionbert_tpu.models.mesh_head import MeshRegressor

@@ -394,6 +394,61 @@ def golden_supcon():
     print("supcon goldens written")
 
 
+def golden_mesh_eval():
+    """Mesh eval metrics (reference utils_mesh.py:357-438): evaluate_mesh
+    MPVE / MPJPE-14/17 / PA-MPJPE-14/17 — including the h36m_17_to_14
+    subset at utils_mesh.py:410 and the rigid_align Procrustes path — plus
+    compute_error / compute_error_frames. Inputs are stored f16 to keep
+    the committed npz small; the reference outputs are generated FROM the
+    f16-rounded values (the dstformer_flagship pattern), so the parity
+    test reruns on bit-identical inputs."""
+    from lib.utils.utils_mesh import (compute_error, compute_error_frames,
+                                      evaluate_mesh)
+
+    rs = np.random.RandomState(7)
+    N, V = 5, 6890
+    gt_verts = (rs.randn(N, V, 3) * 100).astype(np.float16)
+    gt_j = (rs.randn(N, 17, 3) * 100).astype(np.float16)
+    # pred = per-sample similarity transform of GT + noise: PA alignment
+    # must recover the transform (exercising scale/rotation/translation in
+    # rigid_transform_3D) while the residual noise keeps every metric
+    # non-degenerate. mm-scale magnitudes match the real eval.
+    preds_v, preds_j = [], []
+    for n in range(N):
+        ang = rs.uniform(0, 2 * np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        sc = rs.uniform(0.8, 1.2)
+        t = rs.randn(3) * 50
+        preds_v.append(sc * gt_verts[n].astype(np.float64) @ R.T + t
+                       + rs.randn(V, 3) * 5)
+        preds_j.append(sc * gt_j[n].astype(np.float64) @ R.T + t
+                       + rs.randn(17, 3) * 5)
+    pred_verts = np.asarray(preds_v).astype(np.float16)
+    pred_j = np.asarray(preds_j).astype(np.float16)
+
+    results = {"verts": pred_verts.astype(np.float32),
+               "verts_gt": gt_verts.astype(np.float32),
+               "kp_3d": pred_j.astype(np.float32),
+               "kp_3d_gt": gt_j.astype(np.float32)}
+    err = evaluate_mesh(results)
+
+    out = [{"verts": torch.from_numpy(results["verts"]),
+            "kp_3d": torch.from_numpy(results["kp_3d"])}]
+    tgt = {"verts": torch.from_numpy(results["verts_gt"]),
+           "kp_3d": torch.from_numpy(results["kp_3d_gt"])}
+    ce_mpjpe, ce_mpve = compute_error(out, tgt)
+    cef_mpjpes, cef_mpves = compute_error_frames(out, tgt)
+    np.savez_compressed(
+        os.path.join(OUT, "mesh_eval.npz"),
+        verts=pred_verts, verts_gt=gt_verts, kp_3d=pred_j, kp_3d_gt=gt_j,
+        **{f"em_{k}": np.float64(v) for k, v in err.items()},
+        ce_mpjpe=np.float64(ce_mpjpe), ce_mpve=np.float64(ce_mpve),
+        cef_mpjpes=cef_mpjpes.numpy(), cef_mpves=cef_mpves.numpy())
+    print("mesh_eval goldens written:", {k: round(float(v), 3)
+                                         for k, v in err.items()})
+
+
 if __name__ == "__main__":
     golden_dstformer()
     golden_geometry()
@@ -404,4 +459,5 @@ if __name__ == "__main__":
     golden_datasets_2d()
     golden_supcon()
     golden_legacy_attention()
+    golden_mesh_eval()
     print("all goldens written to", OUT)
