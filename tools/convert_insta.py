@@ -28,6 +28,27 @@ IDX2KEY = [
 ]
 
 
+def write_track_tree(dir_action, clips):
+    """Write a synthetic InstaVariety track tree (the input format both
+    this converter and the reference tools/convert_insta.py consume):
+    clips is a list of (relpath "vid/clip", (L, 17, 3) array-or-None)
+    with channel layout (x, y, logits) in IDX2KEY joint order. None means
+    an empty clip directory (the converters must skip it). Used by
+    tools/make_goldens.py and tests/test_converters.py so both sides run
+    on bit-identical JSON files."""
+    for rel, arr in clips:
+        d = os.path.join(dir_action, rel)
+        os.makedirs(d, exist_ok=True)
+        if arr is None:
+            continue
+        for t, frame in enumerate(np.asarray(arr)):
+            jd = {key: {"x": float(frame[i][0]), "y": float(frame[i][1]),
+                        "logits": float(frame[i][2])}
+                  for i, key in enumerate(IDX2KEY)}
+            with open(os.path.join(d, "%05d.json" % t), "w") as f:
+                json.dump(jd, f)
+
+
 def json2pose(json_dict):
     pose = np.zeros([17, 3])
     for i, key in enumerate(IDX2KEY):

@@ -449,6 +449,160 @@ def golden_mesh_eval():
                                          for k, v in err.items()})
 
 
+def golden_converters():
+    """Run the REFERENCE offline converters (tools/convert_insta.py,
+    tools/compress_amass.py, tools/convert_amass.py — all top-level
+    scripts with hard-coded relative paths) on synthetic input trees via
+    runpy in a temp cwd, and pin their outputs. The repo ports rerun on
+    the same stored inputs in tests/test_converters.py (the r3
+    datasets_2d pattern: shared-misreading risk is caught by comparing
+    behaviors, not code)."""
+    import runpy
+    import pickle
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.convert_insta import write_track_tree
+
+    rs = np.random.RandomState(21)
+    data = {}
+    here = os.getcwd()
+
+    # --- convert_insta: 3 real clips + a degenerate (<4 valid coords ->
+    # crop_scale zeros path) + an empty clip dir (skip path). Zero-logits
+    # joints (Belly/Head always; one extra) exercise the final zeroing.
+    tree = []
+    for k, (rel, L) in enumerate([("vid00/clip_a", 25), ("vid00/clip_b", 17),
+                                  ("vid01/clip_a", 40)]):
+        arr = rs.uniform(0, 640, (L, 17, 3))
+        arr[..., 2] = rs.uniform(0.1, 1.0, (L, 17))
+        arr[0, 5, 2] = 0.0  # a zero-confidence joint beyond Belly/Head
+        tree.append((rel, arr))
+    degen = np.zeros((3, 17, 3))
+    degen[..., :2] = rs.uniform(0, 640, (3, 17, 2))  # logits all zero
+    tree.append(("vid01/clip_degen", degen))
+    tree.append(("vid01/clip_empty", None))
+    for i, (rel, arr) in enumerate(tree):
+        data[f"insta_rel_{i}"] = np.str_(rel)
+        if arr is not None:
+            data[f"insta_raw_{i}"] = arr
+    data["insta_n_clips"] = np.array(len(tree))
+
+    tmp = tempfile.mkdtemp()
+    try:
+        root = os.path.join(tmp, "data", "Motion2d", "InstaVariety",
+                            "InstaVariety_tracks")
+        write_track_tree(os.path.join(root, "golden_action"), tree)
+        os.chdir(tmp)
+        argv_was = sys.argv
+        sys.argv = ["convert_insta.py", "--name_action", "golden_action"]
+        try:
+            runpy.run_path(os.path.join(REF, "tools", "convert_insta.py"),
+                           run_name="__main__")
+        finally:
+            sys.argv = argv_was
+            os.chdir(here)
+        with open(os.path.join(root, "golden_action",
+                               "golden_action.pkl"), "rb") as f:
+            motions = pickle.load(f)
+        data["insta_n_out"] = np.array(len(motions))
+        for i, m in enumerate(motions):
+            data[f"insta_out_{i}"] = m
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # --- compress_amass: synthetic raw npz tree (one fps per stride case
+    # + a corrupt file both sides must skip). Content parity only: the
+    # reference's fname_new mangling is path-prefix-dependent cosmetics.
+    seqs = [("a/seq1.npz", 120.0, 12), ("a/seq2.npz", 60.0, 9),
+            ("b/seq3.npz", 240.0, 17)]
+    raw = []
+    for rel, fps, n in seqs:
+        raw.append(dict(
+            mocap_framerate=np.float64(fps),
+            trans=rs.randn(n, 3).astype(np.float32),
+            poses=rs.randn(n, 156).astype(np.float32),
+            dmpls=rs.randn(n, 8).astype(np.float32),
+            betas=rs.randn(16).astype(np.float32),
+            gender=np.str_("male")))
+    data["compress_n_seqs"] = np.array(len(seqs))
+    for i, ((rel, fps, n), x) in enumerate(zip(seqs, raw)):
+        data[f"compress_rel_{i}"] = np.str_(rel)
+        for k in ("mocap_framerate", "trans", "poses", "dmpls", "betas"):
+            data[f"compress_in_{i}_{k}"] = x[k]
+
+    tmp = tempfile.mkdtemp()
+    try:
+        for (rel, fps, n), x in zip(seqs, raw):
+            p = os.path.join(tmp, "data", "AMASS", "amass_202203", rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            np.savez(p, **x)
+        with open(os.path.join(tmp, "data", "AMASS", "amass_202203",
+                               "b", "broken.npz"), "wb") as f:
+            f.write(b"not an npz")
+        os.chdir(tmp)
+        try:
+            runpy.run_path(os.path.join(REF, "tools", "compress_amass.py"),
+                           run_name="__main__")
+        finally:
+            os.chdir(here)
+        with open(os.path.join(tmp, "data", "AMASS",
+                               "all_motions_fps60.pkl"), "rb") as f:
+            all_motions = pickle.load(f)
+        data["compress_n_out"] = np.array(len(all_motions))
+        for i, x in enumerate(all_motions):
+            for k in ("trans", "poses", "dmpls"):
+                data[f"compress_out_{i}_{k}"] = np.asarray(x[k])
+            data[f"compress_out_{i}_fps"] = np.asarray(
+                x["mocap_framerate"], dtype=np.float64)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # --- convert_amass: vid lengths chosen to cover a full 243-frame clip
+    # with stride carry-over (300), a short vid hitting the RANDOM tail
+    # resample (120; np.random seeded identically on both sides), and an
+    # exact-length vid (243).
+    joints_all = [rs.randn(17, n, 3).astype(np.float32)
+                  for n in (300, 120, 243)]
+    for i, j in enumerate(joints_all):
+        data[f"amass_in_{i}"] = j
+    data["amass_n_in"] = np.array(len(joints_all))
+    data["amass_seed"] = np.array(16)
+
+    tmp = tempfile.mkdtemp()
+    try:
+        os.makedirs(os.path.join(tmp, "data", "AMASS"), exist_ok=True)
+        with open(os.path.join(tmp, "data", "AMASS",
+                               "amass_joints_h36m_60.pkl"), "wb") as f:
+            pickle.dump(joints_all, f)
+        os.chdir(tmp)
+        np.random.seed(16)
+        try:
+            runpy.run_path(os.path.join(REF, "tools", "convert_amass.py"),
+                           run_name="__main__")
+        finally:
+            os.chdir(here)
+        clip_dir = os.path.join(tmp, "data", "motion3d", "MB3D_f243s81",
+                                "AMASS", "train")
+        names = sorted(os.listdir(clip_dir))
+        clips = []
+        for name in names:
+            with open(os.path.join(clip_dir, name), "rb") as f:
+                d = pickle.load(f)
+            assert d["data_input"] is None
+            clips.append(d["data_label"])
+        data["amass_clips"] = np.stack(clips).astype(np.float32)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    np.savez_compressed(os.path.join(OUT, "converters.npz"), **data)
+    print("converter goldens written:",
+          f"insta {data['insta_n_out']} motions,",
+          f"compress {data['compress_n_out']} seqs,",
+          f"amass {data['amass_clips'].shape} clips")
+
+
 if __name__ == "__main__":
     golden_dstformer()
     golden_geometry()
@@ -460,4 +614,5 @@ if __name__ == "__main__":
     golden_supcon()
     golden_legacy_attention()
     golden_mesh_eval()
+    golden_converters()
     print("all goldens written to", OUT)
