@@ -22,7 +22,14 @@ sublanes and are the known-risky lowering):
 - spatial tiles read a row slab [f0:f0+tf, :] and regroup it into j-major
   (J*tf, C) token rows by concatenating its J column slices — pure
   lane-aligned slices + sublane-aligned concats (tf = 16 keeps bf16 row
-  slices on 16-sublane tile boundaries).
+  slices on 16-sublane tile boundaries);
+- EVERY regrouped row piece is zero-padded to a multiple-of-16 row stride
+  (_pad_rows) before an axis=1 concat: the real Mosaic lowering rejects
+  tpu.concatenate when inputs' sublane offsets mismatch on a non-concat
+  dimension (measured on-chip r4 — the 3-frame tail of F=243 and the
+  243-row temporal groups both hit it). The pad frames are explicit
+  zeros, masked out of attention as keys, and cost only matmul rows the
+  MXU tiling would have padded anyway.
 
 Pass 1 writes the output block; pass 2 updates it in place (its groups
 partition rows/columns, so in-place is race-free within one program). The
@@ -94,11 +101,12 @@ def _pick_stream_groups(F, J, C, hidden, itemsize, gated, q8=False):
     per_row = (3 * C + hidden + 3 * C) * 4 + 4 * C * itemsize
     avail = STREAM_BUDGET - resident
     # minimum viable launch: ks=1 spatial group (tf*J rows) for one pass,
-    # kt=1 temporal group (F rows) for the other
-    if avail < max(tf * J, F) * per_row:
+    # kt=1 temporal group (fpad rows — groups are zero-padded to the
+    # 16-aligned stride, see _pad_rows) for the other
+    if avail < max(tf * J, fpad) * per_row:
         return None
     ks = max(1, min(4, avail // (tf * J * per_row)))
-    kt = max(1, min(8, avail // (F * per_row)))
+    kt = max(1, min(8, avail // (fpad * per_row)))
     return tf, int(ks), int(kt)
 
 
@@ -124,13 +132,39 @@ def _stream_pairs_fallback(x, other, p1, p2, wg, bg, num_heads, scale,
     return gated_fn(y, other, *p2, wg, bg, num_heads, scale, mode2)
 
 
-def _same_frame_mask_jmajor(nf, J):
+def _same_frame_mask_jmajor(nf, J, valid=None):
     """(J*nf, J*nf) same-frame select mask for j-major token rows
-    (r = j*nf + f): frame id is r % nf."""
+    (r = j*nf + f): frame id is r % nf. `valid` (< nf) additionally
+    excludes zero-padded frames >= valid as attention keys."""
     N = nf * J
     r = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-    return (r % nf) == (c % nf)
+    mask = (r % nf) == (c % nf)
+    if valid is not None and valid != nf:
+        mask = mask & ((c % nf) < valid)
+    return mask
+
+
+def _pad_rows(piece, to_rows):
+    """Zero-pad a (n, C) piece to (to_rows, C).
+
+    Regrouping row pieces with jnp.concatenate is the Mosaic-critical op in
+    this kernel: the lowering rejects concatenation when inputs' sublane
+    offsets mismatch on a NON-concat dimension (measured on-chip r4:
+    "tpu.concatenate ... result/input offset mismatch"), which happens
+    exactly when pieces sit at row strides that are not multiples of the
+    16-sublane bf16 tile (e.g. the 3-frame tail of F=243, or F=243-row
+    temporal groups). Padding every piece to a multiple-of-16 row count
+    keeps all piece offsets at 0 so the axis=1 regroup concats lower; the
+    zeros are masked out of attention (select mask + explicit zero values,
+    the pair kernels' edge-block convention) and the padded matmul rows are
+    rows the MXU would have padded to tile boundaries anyway."""
+    n = piece.shape[0]
+    if n == to_rows:
+        return piece
+    return jnp.concatenate(
+        [piece, jnp.zeros((to_rows - n, piece.shape[1]), piece.dtype)],
+        axis=0)
 
 
 def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C, q8,
@@ -154,16 +188,21 @@ def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C, q8,
         o_ref = refs[base + 2 * n]
     F = x_ref.shape[1]
 
-    def gather_spatial(ref, f0, nf):
-        # (nf, J*C) row slab -> (J*nf, C) j-major token rows
+    Fp = -(-F // 16) * 16  # temporal group row stride, 16-sublane aligned
+
+    def gather_spatial(ref, f0, nf, nfp):
+        # (nf, J*C) row slab -> (J*nfp, C) j-major token rows, each joint's
+        # piece zero-padded to the aligned per-joint stride nfp
         slab = ref[0, f0:f0 + nf, :]
         return jnp.concatenate(
-            [slab[:, j * C:(j + 1) * C] for j in range(J)], axis=0)
+            [_pad_rows(slab[:, j * C:(j + 1) * C], nfp) for j in range(J)],
+            axis=0)
 
-    def scatter_spatial(rows, f0, nf):
-        # (J*nf, C) j-major token rows -> one (nf, J*C) row-slab write
+    def scatter_spatial(rows, f0, nf, nfp):
+        # (J*nfp, C) j-major token rows -> one (nf, J*C) row-slab write;
+        # pieces at stride nfp keep uniform sublane offset 0 for the concat
         slab = jnp.concatenate(
-            [rows[j * nf:(j + 1) * nf, :] for j in range(J)], axis=1)
+            [rows[j * nfp:j * nfp + nf, :] for j in range(J)], axis=1)
         o_ref[0, f0:f0 + nf, :] = slab.astype(o_ref.dtype)
 
     def spatial_pass(src_ref, params, gate_here):
@@ -174,33 +213,43 @@ def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C, q8,
         groups += [[t] for t in tail]
         for grp in groups:
             nf = grp[0][1]
-            parts = [gather_spatial(src_ref, f0, nf) for f0, _ in grp]
+            nfp = -(-nf // 16) * 16  # pad the tail tile's frames to 16
+            parts = [gather_spatial(src_ref, f0, nf, nfp) for f0, _ in grp]
             xg = parts[0] if len(parts) == 1 else \
                 jnp.concatenate(parts, axis=0)
-            mask = _same_frame_mask_jmajor(nf, J)
+            mask = _same_frame_mask_jmajor(nfp, J, valid=nf)
             out = rows_fn(xg, len(grp), num_heads, scale, mask, *params)
             if gate_here:
-                op = [gather_spatial(other_ref, f0, nf) for f0, _ in grp]
+                op = [gather_spatial(other_ref, f0, nf, nfp)
+                      for f0, _ in grp]
                 og = op[0] if len(op) == 1 else jnp.concatenate(op, axis=0)
                 out = _gate_rows(og, out, wga_ref, wgb_ref, bgg_ref)
-            n = J * nf
+            n = J * nfp
             for i, (f0, _) in enumerate(grp):
-                scatter_spatial(out[i * n:(i + 1) * n], f0, nf)
+                scatter_spatial(out[i * n:(i + 1) * n], f0, nf, nfp)
 
     def temporal_pass(src_ref, params, gate_here):
+        # key-validity select mask for the zero-padded frames >= F (their
+        # values are explicit zeros, so masked softmax stays NaN-free)
+        vmask = None
+        if Fp != F:
+            c = jax.lax.broadcasted_iota(jnp.int32, (Fp, Fp), 1)
+            vmask = c < F
         for j0 in range(0, J, kt):
             g = min(kt, J - j0)
             slab = src_ref[0, :, j0 * C:(j0 + g) * C]   # (F, g*C)
             xg = jnp.concatenate(
-                [slab[:, i * C:(i + 1) * C] for i in range(g)], axis=0)
-            out = rows_fn(xg, g, num_heads, scale, None, *params)
+                [_pad_rows(slab[:, i * C:(i + 1) * C], Fp)
+                 for i in range(g)], axis=0)
+            out = rows_fn(xg, g, num_heads, scale, vmask, *params)
             if gate_here:
                 osl = other_ref[0, :, j0 * C:(j0 + g) * C]
                 og = jnp.concatenate(
-                    [osl[:, i * C:(i + 1) * C] for i in range(g)], axis=0)
+                    [_pad_rows(osl[:, i * C:(i + 1) * C], Fp)
+                     for i in range(g)], axis=0)
                 out = _gate_rows(og, out, wga_ref, wgb_ref, bgg_ref)
             res = jnp.concatenate(
-                [out[i * F:(i + 1) * F] for i in range(g)], axis=1)
+                [out[i * Fp:i * Fp + F] for i in range(g)], axis=1)
             o_ref[0, :, j0 * C:(j0 + g) * C] = res.astype(o_ref.dtype)
 
     run = {"s": spatial_pass, "t": temporal_pass}
