@@ -463,7 +463,13 @@ def _pick_pair_bwd_batch_block(B, N, C, hidden, num_heads, itemsize, gated,
     qkv/dqkv/p/attn scratches grow with bb) + bb double-buffered streams.
     Capped at bb=2: bigger blocks leave too few grid steps to overlap the
     stream DMAs (measured round 2), and the flattened scratches put bb=4
-    past the physical-VMEM wall anyway."""
+    past the physical-VMEM wall anyway.
+
+    The 26 MB budget's bb=1 for the GATED TEMPORAL backward (its bb=2
+    scratch estimate is 27.8 MB) is measured-correct, not a budget
+    artifact: forcing bb=2 via a raised budget ran 102.2 ms vs bb=1's
+    88.5 ms at flagship dims (round-4 probe_pair, reproduced twice each) —
+    same DMA-overlap starvation as bb=4/8 on the forward."""
     weights = (3 * C * C + C * C + 2 * C * hidden) * itemsize
     grads = (3 * C * C + C * C + 2 * C * hidden) * 4
     scratch_per_b = N * (3 * C + 3 * C) * 4 + N * C * itemsize \
