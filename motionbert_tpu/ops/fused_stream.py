@@ -64,6 +64,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from motionbert_tpu.ops.attention import _on_tpu, _vmem_params
 from motionbert_tpu.ops.fused_pair import (
@@ -192,8 +193,9 @@ def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C, q8,
 
     def gather_spatial(ref, f0, nf, nfp):
         # (nf, J*C) row slab -> (J*nfp, C) j-major token rows, each joint's
-        # piece zero-padded to the aligned per-joint stride nfp
-        slab = ref[0, f0:f0 + nf, :]
+        # piece zero-padded to the aligned per-joint stride nfp. f0 may be
+        # a traced loop index (always a multiple of tf=16, sublane-aligned).
+        slab = ref[0, pl.ds(f0, nf), :]
         return jnp.concatenate(
             [_pad_rows(slab[:, j * C:(j + 1) * C], nfp) for j in range(J)],
             axis=0)
@@ -203,30 +205,68 @@ def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C, q8,
         # pieces at stride nfp keep uniform sublane offset 0 for the concat
         slab = jnp.concatenate(
             [rows[j * nfp:j * nfp + nf, :] for j in range(J)], axis=1)
-        o_ref[0, f0:f0 + nf, :] = slab.astype(o_ref.dtype)
+        o_ref[0, pl.ds(f0, nf), :] = slab.astype(o_ref.dtype)
+
+    # Group loops run under lax.fori_loop, NOT unrolled: at flagship dims
+    # the picker lands on ks=1/kt=1, and unrolling then inlines 33 full
+    # attention+MLP bodies (~700 matmul ops) into one Mosaic kernel — the
+    # real TPU compile of that form never finished inside 10 minutes
+    # (measured r4). Uniform groups go through a single traced body with
+    # dynamic but tile-aligned slice starts (multiples of tf=16 sublanes /
+    # C lanes); only the non-uniform leftovers (< ks full tiles, the F%tf
+    # tail, < kt joints) stay unrolled.
+
+    def spatial_group(src_ref, params, gate_here, f0, nf, nfp, k, mask):
+        # one matmul group: k tiles of nf frames starting at f0
+        parts = [gather_spatial(src_ref, f0 + i * tf, nf, nfp)
+                 for i in range(k)]
+        xg = parts[0] if k == 1 else jnp.concatenate(parts, axis=0)
+        out = rows_fn(xg, k, num_heads, scale, mask, *params)
+        if gate_here:
+            op = [gather_spatial(other_ref, f0 + i * tf, nf, nfp)
+                  for i in range(k)]
+            og = op[0] if k == 1 else jnp.concatenate(op, axis=0)
+            out = _gate_rows(og, out, wga_ref, wgb_ref, bgg_ref)
+        n = J * nfp
+        for i in range(k):
+            scatter_spatial(out[i * n:(i + 1) * n], f0 + i * tf, nf, nfp)
 
     def spatial_pass(src_ref, params, gate_here):
-        tiles = [(f0, min(tf, F - f0)) for f0 in range(0, F, tf)]
-        full = [t for t in tiles if t[1] == tf]
-        tail = [t for t in tiles if t[1] != tf]
-        groups = [full[i:i + ks] for i in range(0, len(full), ks)]
-        groups += [[t] for t in tail]
-        for grp in groups:
-            nf = grp[0][1]
-            nfp = -(-nf // 16) * 16  # pad the tail tile's frames to 16
-            parts = [gather_spatial(src_ref, f0, nf, nfp) for f0, _ in grp]
-            xg = parts[0] if len(parts) == 1 else \
-                jnp.concatenate(parts, axis=0)
+        nfull = F // tf
+        g_full = nfull // ks
+        if g_full:
+            mask = _same_frame_mask_jmajor(tf, J)
+
+            def body(i, c):
+                spatial_group(src_ref, params, gate_here, i * (ks * tf),
+                              tf, tf, ks, mask)
+                return c
+
+            jax.lax.fori_loop(0, g_full, body, 0)
+        # leftover full tiles (nfull % ks of them) + the F % tf tail tile
+        for f0 in range(g_full * ks * tf, F, tf):
+            nf = min(tf, F - f0)
+            nfp = -(-nf // 16) * 16
             mask = _same_frame_mask_jmajor(nfp, J, valid=nf)
-            out = rows_fn(xg, len(grp), num_heads, scale, mask, *params)
-            if gate_here:
-                op = [gather_spatial(other_ref, f0, nf, nfp)
-                      for f0, _ in grp]
-                og = op[0] if len(op) == 1 else jnp.concatenate(op, axis=0)
-                out = _gate_rows(og, out, wga_ref, wgb_ref, bgg_ref)
-            n = J * nfp
-            for i, (f0, _) in enumerate(grp):
-                scatter_spatial(out[i * n:(i + 1) * n], f0, nf, nfp)
+            spatial_group(src_ref, params, gate_here, f0, nf, nfp, 1, mask)
+
+    def temporal_group(src_ref, params, gate_here, j0c, g, vmask):
+        # one matmul group: g joints' (F, C) column slabs from lane
+        # offset j0c (a multiple of C, lane-aligned)
+        slab = src_ref[0, :, pl.ds(j0c, g * C)]
+        xg = jnp.concatenate(
+            [_pad_rows(slab[:, i * C:(i + 1) * C], Fp)
+             for i in range(g)], axis=0)
+        out = rows_fn(xg, g, num_heads, scale, vmask, *params)
+        if gate_here:
+            osl = other_ref[0, :, pl.ds(j0c, g * C)]
+            og = jnp.concatenate(
+                [_pad_rows(osl[:, i * C:(i + 1) * C], Fp)
+                 for i in range(g)], axis=0)
+            out = _gate_rows(og, out, wga_ref, wgb_ref, bgg_ref)
+        res = jnp.concatenate(
+            [out[i * Fp:i * Fp + F] for i in range(g)], axis=1)
+        o_ref[0, :, pl.ds(j0c, g * C)] = res.astype(o_ref.dtype)
 
     def temporal_pass(src_ref, params, gate_here):
         # key-validity select mask for the zero-padded frames >= F (their
@@ -235,22 +275,16 @@ def _stream_kernel(num_heads, scale, J, order, gated, tf, ks, kt, C, q8,
         if Fp != F:
             c = jax.lax.broadcasted_iota(jnp.int32, (Fp, Fp), 1)
             vmask = c < F
-        for j0 in range(0, J, kt):
-            g = min(kt, J - j0)
-            slab = src_ref[0, :, j0 * C:(j0 + g) * C]   # (F, g*C)
-            xg = jnp.concatenate(
-                [_pad_rows(slab[:, i * C:(i + 1) * C], Fp)
-                 for i in range(g)], axis=0)
-            out = rows_fn(xg, g, num_heads, scale, vmask, *params)
-            if gate_here:
-                osl = other_ref[0, :, j0 * C:(j0 + g) * C]
-                og = jnp.concatenate(
-                    [_pad_rows(osl[:, i * C:(i + 1) * C], Fp)
-                     for i in range(g)], axis=0)
-                out = _gate_rows(og, out, wga_ref, wgb_ref, bgg_ref)
-            res = jnp.concatenate(
-                [out[i * Fp:i * Fp + F] for i in range(g)], axis=1)
-            o_ref[0, :, j0 * C:(j0 + g) * C] = res.astype(o_ref.dtype)
+        g_full = J // kt
+        if g_full:
+            def body(i, c):
+                temporal_group(src_ref, params, gate_here, i * (kt * C),
+                               kt, vmask)
+                return c
+
+            jax.lax.fori_loop(0, g_full, body, 0)
+        for j0 in range(g_full * kt, J):  # leftover joints (J % kt)
+            temporal_group(src_ref, params, gate_here, j0 * C, 1, vmask)
 
     run = {"s": spatial_pass, "t": temporal_pass}
     run[order[0]](x_ref, p1, False)
