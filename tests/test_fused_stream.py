@@ -271,3 +271,41 @@ def test_infeasible_budget_falls_back_to_pair_path(monkeypatch):
     g = jax.grad(lambda a: jnp.sum(
         fs.fused_stream_block(a, *p1, *p2, H, scale, order) ** 2))(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("order", [("s", "t"), ("t", "s")])
+def test_forced_multi_tile_groups_cover_fori_and_leftovers(order,
+                                                           monkeypatch):
+    """Force ks=2/kt=3 at F=51 (3 full 16-frame tiles + a 3-frame tail;
+    17 joints = 5 kt-groups + 2 leftover joints) so ONE launch exercises
+    every group path of the kernel at once: the spatial fori_loop body
+    grouping ks tiles per matmul, the leftover full tile, the padded tail
+    tile, the temporal fori_loop body, and the leftover joints. Flagship
+    dims land on ks=1/kt=1 and the small-dim tests on 0-1 fori trips, so
+    without this the rolled-loop paths ship untested."""
+    from motionbert_tpu.ops import fused_stream as fs
+
+    B, F, J, C, H = 2, 51, 17, 32, 4
+    x = _mk((B, F, J, C), 0)
+    other = _mk((B, F, J, C), 1)
+    p1 = _pair_params(C, 100)
+    p2 = _pair_params(C, 200)
+    wg, bg = _mk((2 * C, 2), 300) * 0.1, _mk((2,), 301) * 0.1 + 0.5
+    scale = (C // H) ** -0.5
+
+    monkeypatch.setattr(fs, "_pick_stream_groups",
+                        lambda *a, **k: (16, 2, 3))
+
+    out = fs.fused_stream_block(x, *p1, *p2, H, scale, order)
+    mode1 = "spatial" if order[0] == "s" else "temporal"
+    mode2 = "spatial" if order[1] == "s" else "temporal"
+    y = fused_pair_block(x, *p1, H, scale, mode1)
+    ref = fused_pair_block(y, *p2, H, scale, mode2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+    out_g = fs.fused_gated_stream_block(x, other, *p1, *p2, wg, bg, H,
+                                        scale, order)
+    ref_g = fused_gated_pair_block(y, other, *p2, wg, bg, H, scale, mode2)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g),
+                               atol=2e-6, rtol=2e-6)
