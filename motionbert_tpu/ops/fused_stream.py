@@ -42,10 +42,19 @@ into one (rows, C) matmul (`ks` spatial tiles / `kt` temporal joints per
 _pair_rows call) — the MXU-utilization lever from the pair kernels — but
 the whole-clip residency (x + out [+ other] blocks + both pairs' weights)
 leaves less VMEM for transients than the pair launches had, so row counts
-per matmul are lower (243-544 vs the pair path's up to 972). Whether the
-saved HBM boundary traffic outweighs that is an empirical question; this
-kernel is therefore OPT-IN (attn_impl="pallas_stream") until measured
-faster on the real chip (bench.py records the comparison either way).
+per matmul are lower (243-544 vs the pair path's up to 972).
+
+MEASURED VERDICT (round 4, real chip — tools/probe_stream.py): the
+kernel LOSES to the pair composition at every feasible grouping — bf16
+(ks=1,kt=1) 48.59 vs 44.10 ms, W8A8 (ks=2,kt=2) 45.36 vs 42.36 ms per
+flagship stream — the pair path's (bb, tile) grid pipelining hides the
+intra-stream boundary traffic more cheaply than whole-clip residency
+buys it back. The lowering is correct on hardware (on-chip rel err
+5.7e-4 vs the pair path; full H36M protocol through pallas_stream_q8
+within 0.02 mm of the q8 pair tier), so the kernels stay in-tree as the
+recorded answer to the stream-fusion question, permanently OPT-IN
+(attn_impl="pallas_stream"/"pallas_stream_q8"; bench --stream). See
+design.md "Stream fusion: measured rejection".
 
 Backward (custom VJP): recompute pass-1's output with the standalone pair
 kernel and chain the two existing fused pair backward kernels — exactly
