@@ -33,7 +33,7 @@ FWD_GFLOP_PER_CLIP = 370.0
 # measured achievable ceilings on this chip (tools/probe_peak.py, in-jit
 # chained, host-fetch windows) vary run-to-run through the tunnel: bf16
 # 116-165 TFLOP/s across r2/r3 probes — MFU is quoted against the median
-# observation so it can't flatter. int8: 160-291 TOPS; HBM ~310-321 GB/s.
+# observation so it can't flatter. int8: 160-291 TOPS; HBM ~310-341 GB/s.
 CHIP_BF16_TFLOPS = 147.0
 
 
