@@ -806,6 +806,19 @@ def main():
                       bench_serving_concurrent(model, variables)),
         90, force))
 
+    # MotionBERT-Lite (the zoo's second architecture, reference
+    # README.md:79): bf16 pair-kernel inference at the headline batch
+    def _bench_lite():
+        from motionbert_tpu.models.factory import LITE_CONFIG
+
+        m = DSTformer(dtype=jnp.bfloat16, attn_impl="pallas",
+                      **LITE_CONFIG)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 243, 17, 3)))
+        return (round(bench_inference(m, v, batches=(512,))[512], 2),)
+
+    extra_tasks.update(run_stage(
+        ("lite_clips_per_sec",), _bench_lite, 120, force))
+
     tflops = best * FWD_GFLOP_PER_CLIP / 1000.0
     # label the precision/kernel of the path that actually TOOK the
     # headline (an int8 winner must not be reported as bfloat16)

@@ -21,6 +21,13 @@ FLAGSHIP_CONFIG = dict(dim_in=3, dim_out=3, dim_feat=512, dim_rep=512,
                        depth=5, num_heads=8, mlp_ratio=2, num_joints=17,
                        maxlen=243)
 
+# MotionBERT-Lite (README.md:79; configs/pretrain/MB_lite.yaml): the
+# zoo's second architecture — half the width, 4x mlp_ratio. C=256 is
+# 128-aligned so the fused Pallas kernels apply unchanged.
+LITE_CONFIG = dict(dim_in=3, dim_out=3, dim_feat=256, dim_rep=512,
+                   depth=5, num_heads=8, mlp_ratio=4, num_joints=17,
+                   maxlen=243)
+
 
 def default_attn_impl() -> str:
     """Fused Pallas kernels on TPU; XLA elsewhere (interpreted Pallas would

@@ -24,6 +24,10 @@ CFGS = {
     # the rounded weights, so parity stays exact)
     "flagship": dict(dim_in=3, dim_out=3, dim_feat=512, dim_rep=512, depth=1,
                      num_heads=8, mlp_ratio=2, num_joints=17, maxlen=27),
+    # MotionBERT-Lite width (256/mlp_ratio 4, README.md:79) at depth=1 —
+    # the zoo's second geometry through the same fused kernels
+    "lite": dict(dim_in=3, dim_out=3, dim_feat=256, dim_rep=512, depth=1,
+                 num_heads=8, mlp_ratio=4, num_joints=17, maxlen=27),
 }
 
 
@@ -44,6 +48,7 @@ def _load_golden(name):
     # whose interpret-mode run costs ~3 min — full tier only
     pytest.param("mid", "pallas", marks=pytest.mark.slow),
     ("flagship", "xla"), ("flagship", "pallas"),
+    ("lite", "xla"), ("lite", "pallas"),
 ])
 def test_forward_parity_with_reference(name, attn_impl):
     x, out_ref, rep_ref, sd = _load_golden(name)

@@ -63,12 +63,18 @@ def golden_dstformer():
         "flagship": dict(dim_in=3, dim_out=3, dim_feat=512, dim_rep=512,
                          depth=1, num_heads=8, mlp_ratio=2, num_joints=17,
                          maxlen=27),
+        # MotionBERT-Lite width (dim_feat=256, mlp_ratio=4 — README.md:79,
+        # configs/pretrain/MB_lite.yaml) at depth=1, same fp16 scheme:
+        # C=256 crosses the fused kernels at the zoo's second geometry
+        "lite": dict(dim_in=3, dim_out=3, dim_feat=256, dim_rep=512,
+                     depth=1, num_heads=8, mlp_ratio=4, num_joints=17,
+                     maxlen=27),
     }
     for name, kw in cfgs.items():
         torch.manual_seed(42)
         model = DSTformer(norm_layer=partial(nn.LayerNorm, eps=1e-6), **kw)
         model.eval()
-        half = name == "flagship"
+        half = name in ("flagship", "lite")
         if half:
             sd = {k: v.half().float() for k, v in model.state_dict().items()}
             model.load_state_dict(sd)
