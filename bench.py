@@ -481,10 +481,13 @@ def _task_gate_mpjpe(variables, impls=None):
 
     params = variables["params"]
     if impls is None:
+        # stream tiers are NOT gated by default: their whole-clip Mosaic
+        # kernels cost 6-15 min of fresh compile through the degraded
+        # tunnel service — exactly what the bench's --stream opt-in
+        # exists to avoid. Pass them explicitly to gate them.
         impls = (("fp32", "xla", jnp.float32),
                  ("bf16", "pallas", jnp.bfloat16),
-                 ("q8", "pallas_q8", jnp.bfloat16),
-                 ("q8_stream", "pallas_stream_q8", jnp.bfloat16))
+                 ("q8", "pallas_q8", jnp.bfloat16))
     e1s = {}
     for name, impl, dt in impls:
         m = DSTformer(dtype=dt, attn_impl=impl, **FLAGSHIP_CONFIG)
@@ -506,6 +509,77 @@ def _task_gate_mpjpe(variables, impls=None):
 # artifact can still carry the most recent measured numbers, clearly aged.
 STAGE_CACHE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_stage_cache.json")
+
+# Full measurement detail spills to this sidecar; stdout carries only the
+# compact headline line. The driver records only the TAIL of bench stdout
+# (~2,000 chars survive into BENCH_r*.json): round 4's single stdout line
+# grew to 2,443 chars and the driver's machine-readable record of the round
+# became `parsed: null`. The stdout line is therefore hard-capped well
+# under that window (VERDICT r4 #1).
+DETAIL_SIDECAR_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+STDOUT_LINE_BUDGET = 1500
+
+
+def _compact_summary(detail):
+    """The handful of scalars that must survive on stdout next to the
+    headline: provenance of the winning path, the task-metric gate
+    verdicts, MFU, and the staleness note. Everything else is sidecar."""
+    out = {}
+    for k in ("batch", "headline_path", "dtype", "attn", "achieved_tflops",
+              "mfu_vs_k512_ceiling", "kernel_parity",
+              "train_clips_per_sec", "serving_latency_ms_batch1"):
+        if k in detail:
+            out[k] = detail[k]
+    tg = detail.get("task_gate_mpjpe")
+    if isinstance(tg, dict):
+        for k in ("anchor", "fp32_mpjpe_mm", "gate_mm",
+                  "bf16_mpjpe_delta_mm", "bf16_pass",
+                  "q8_mpjpe_delta_mm", "q8_pass"):
+            if k in tg:
+                out["gate_" + k if not k.startswith("gate") else k] = tg[k]
+    if "stale" in detail:
+        # staleness provenance is load-bearing prose; cap it so one long
+        # cause string cannot blow the line budget
+        out["stale"] = str(detail["stale"])[:300]
+    if "error" in detail:
+        out["error"] = str(detail["error"])[:300]
+    return out
+
+
+# least-essential compact keys first: dropped one by one if the line still
+# exceeds the budget (the headline schema keys are never dropped)
+_COMPACT_DROP_ORDER = (
+    "serving_latency_ms_batch1", "train_clips_per_sec", "attn", "dtype",
+    "kernel_parity", "mfu_vs_k512_ceiling", "achieved_tflops", "batch",
+    "gate_fp32_mpjpe_mm", "gate_bf16_mpjpe_delta_mm", "gate_gate_mm")
+
+
+def _emit_artifact(artifact):
+    """ONE compact JSON line on stdout (the driver contract) + the full
+    detail blob in the BENCH_DETAIL.json sidecar (atomic write). The line
+    is guaranteed <= STDOUT_LINE_BUDGET chars so the driver's stdout-tail
+    capture can always json.loads it."""
+    full_detail = dict(artifact.get("detail", {}))
+    line_art = {k: v for k, v in artifact.items() if k != "detail"}
+    line_art["detail"] = {"file": os.path.basename(DETAIL_SIDECAR_PATH),
+                          **_compact_summary(full_detail)}
+    line = json.dumps(line_art)
+    for k in _COMPACT_DROP_ORDER:
+        if len(line) <= STDOUT_LINE_BUDGET:
+            break
+        line_art["detail"].pop(k, None)
+        line = json.dumps(line_art)
+    try:
+        tmp = DETAIL_SIDECAR_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"stdout_line": line_art, "detail": full_detail},
+                      f, indent=1)
+        os.replace(tmp, DETAIL_SIDECAR_PATH)
+    except Exception as e:  # sidecar is best-effort; stdout must still go
+        import sys as _s
+        _s.stderr.write(f"bench: sidecar write failed: {e!r}\n")
+    print(line)
 
 
 def _load_stage_cache():
@@ -553,7 +627,7 @@ def _emit_stale_artifact(cache, why):
         art.setdefault("detail", {})["stale"] = (
             f"{why}; these are the most recent on-chip measurements, "
             f"{age}s old")
-        print(json.dumps(art))
+        _emit_artifact(art)
         return
     except Exception:
         pass
@@ -570,15 +644,16 @@ def _emit_stale_artifact(cache, why):
             art.setdefault("detail", {})["stale"] = (
                 f"{why}; replaying {os.path.basename(path)} — a PREVIOUS "
                 f"round's measurements, not this round's")
-            print(json.dumps(art))
+            _emit_artifact(art)
             return
         except Exception:
             continue
-    print(json.dumps(
+    _emit_artifact(
         {"metric": "243-frame clips/sec/chip (pose3d lift)",
          "value": 0.0, "unit": "clips/s", "vs_baseline": 0.0, "stale": True,
          "measured_at_unix": None,
-         "detail": {"error": f"{why}, and no cached artifact exists"}}))
+         "detail": {"error": f"{why}, and no cached artifact exists",
+                    "stale": why}})
 
 
 def main():
@@ -816,8 +891,14 @@ def main():
         v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 243, 17, 3)))
         return (round(bench_inference(m, v, batches=(512,))[512], 2),)
 
+    # cold-cache risk (ADVICE r4): the lite geometry (C=256, hidden=1024)
+    # is a brand-new Mosaic compile (~6 min through the degraded service)
+    # the first time. A prior cached stage value implies the kernels are
+    # already ground into the persistent compile cache (~120 s rerun);
+    # otherwise demand a near-full remaining budget before attempting it.
+    lite_est = 120 if "lite_clips_per_sec" in stage_cache else 450
     extra_tasks.update(run_stage(
-        ("lite_clips_per_sec",), _bench_lite, 120, force))
+        ("lite_clips_per_sec",), _bench_lite, lite_est, force))
 
     tflops = best * FWD_GFLOP_PER_CLIP / 1000.0
     # label the precision/kernel of the path that actually TOOK the
@@ -904,7 +985,7 @@ def main():
     stage_cache["last_artifact"] = {"value": artifact,
                                     "at_unix": int(time.time())}
     _save_cache()
-    print(json.dumps(artifact))
+    _emit_artifact(artifact)
 
 
 if __name__ == "__main__":

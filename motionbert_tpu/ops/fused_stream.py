@@ -103,7 +103,13 @@ def _pick_stream_groups(F, J, C, hidden, itemsize, gated, q8=False):
     exceed the budget (e.g. fp32 inputs or clips much longer than 243
     frames). Callers fall back to the pair-kernel composition instead of
     launching a kernel the compiler would reject past its VMEM cap."""
-    tf = min(STREAM_TF, F)
+    if F < STREAM_TF:
+        # tf would drop below 16: the rolled spatial fori path slices at
+        # stride tf, putting pieces on non-16-multiple sublane offsets —
+        # the Mosaic tpu.concatenate offset mismatch measured on-chip
+        # (module docstring). Short clips take the pair fallback instead.
+        return None
+    tf = STREAM_TF
     fpad = -(-F // 16) * 16  # sublane padding of the resident blocks
     resident = (3 if gated else 2) * fpad * J * C * itemsize
     w_elems = 3 * C * C + C * C + 2 * C * hidden

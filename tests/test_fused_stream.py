@@ -273,6 +273,28 @@ def test_infeasible_budget_falls_back_to_pair_path(monkeypatch):
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_short_clip_takes_pair_fallback():
+    """F < 16 must make the picker return None (tf below the 16-sublane
+    stride the rolled spatial fori path slices at would hit the Mosaic
+    tpu.concatenate offset mismatch the docstring records), so short clips
+    route through the pair composition — exactly."""
+    from motionbert_tpu.ops import fused_stream as fs
+
+    assert fs._pick_stream_groups(8, 17, 128, 256, 2, gated=False) is None
+    assert fs._pick_stream_groups(15, 17, 128, 256, 2, gated=True,
+                                  q8=True) is None
+
+    B, F, J, C, H = 2, 8, 17, 32, 4
+    x = _mk((B, F, J, C), 0)
+    p1 = _pair_params(C, 100)
+    p2 = _pair_params(C, 200)
+    scale = (C // H) ** -0.5
+    out = fs.fused_stream_block(x, *p1, *p2, H, scale, ("s", "t"))
+    y = fused_pair_block(x, *p1, H, scale, "spatial")
+    ref = fused_pair_block(y, *p2, H, scale, "temporal")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 @pytest.mark.parametrize("order", [("s", "t"), ("t", "s")])
 def test_forced_multi_tile_groups_cover_fori_and_leftovers(order,
                                                            monkeypatch):
