@@ -92,6 +92,49 @@ def load_torch_checkpoint(path: str, model_key: str = "model_pos",
     return torch_state_dict_to_flax(sd, bn_names=tuple(bn_names))
 
 
+def save_params_npz(path: str, params, dtype=None, meta: dict = None):
+    """Flat compressed-npz snapshot of a param pytree — the committed-
+    artifact format (e.g. the task-gate anchor, tools/train_anchor.py).
+    Keys are '/'-joined dict paths; optional `dtype` downcasts for size
+    (f16 halves a flagship snapshot); `meta` is a JSON dict stored under
+    '__meta__'. Atomic write (tmp + rename)."""
+    import json
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path_keys, v in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in path_keys)
+        a = np.asarray(jax.device_get(v))
+        out[key] = a.astype(dtype) if dtype is not None else a
+    if meta:
+        out["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), np.uint8).copy()
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **out)
+    # np.savez appends .npz to a name without it
+    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+
+
+def load_params_npz(path: str, dtype=np.float32) -> tuple:
+    """Inverse of save_params_npz: returns (nested params dict, meta)."""
+    import json
+
+    z = np.load(path)
+    meta = {}
+    params: dict = {}
+    for key in z.files:
+        if key == "__meta__":
+            meta = json.loads(z[key].tobytes().decode())
+            continue
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        arr = z[key]
+        node[parts[-1]] = arr.astype(dtype) if dtype is not None else arr
+    return params, meta
+
+
 def load_pretrained_params(init_params, ckpt_params) -> tuple:
     """Tolerant weight loading: copy leaves whose path+shape match; keep
     init values elsewhere. Returns (params, matched, discarded) where

@@ -24,6 +24,23 @@ import numpy as np
 H36M_CAMERAS = ["54138969", "60457274", "55011271", "58860488"]
 ACTIONS = ["Directions", "Sitting", "Walking"]
 
+# Dataset-FAMILY constant for the learnable-z mapping (independent of the
+# per-pickle `seed`): every learnable_z pickle shares the same xy->z map,
+# so a model trained on one pickle (e.g. seed=1 train data) generalizes to
+# another's test split (e.g. the seed=0 bench task-gate mirror) with no
+# train/test leakage between the two rng streams.
+LEARNABLE_Z_SEED = 20260819
+_MOTION_CENTER_XY = np.asarray([500.0, 500.0])
+_MOTION_SCALE = 80.0
+
+
+def _learnable_z_map():
+    """Fixed linear map from the centered 17x2 pose to 17 depths, scaled so
+    z dynamics match the default generator's 0.3*scale amplitude."""
+    rng = np.random.RandomState(LEARNABLE_Z_SEED)
+    return rng.normal(0.0, 0.3 * _MOTION_SCALE / np.sqrt(34.0),
+                      (34, 17)).astype(np.float64)
+
 
 def _smooth_motion(rng, n_frames, n_joints=17, dim=3, scale=80.0,
                    center=(500.0, 500.0, 0.0)):
@@ -37,9 +54,20 @@ def _smooth_motion(rng, n_frames, n_joints=17, dim=3, scale=80.0,
 
 
 def make_h36m_pickle(path, n_frames_per_video=64, seed=0,
-                     include_blocked=True):
-    """Synthetic pickle with the H36M source-file layout."""
+                     include_blocked=True, learnable_z=False,
+                     train_subjects=(1, 5), train_videos=3):
+    """Synthetic pickle with the H36M source-file layout.
+
+    learnable_z=True replaces the independent random depth channel with a
+    FIXED dataset-family linear function of the (clean) 2D pose, so the
+    2D->3D lifting task is actually solvable — a trained model's MPJPE
+    lands in the tens of mm like the reference's real operating point
+    (needed to anchor the quantized-tier task gate on trained weights,
+    bench._task_gate_mpjpe). Depth stays smooth (a linear map of smooth
+    trajectories) and the noisy 2D observations keep a non-zero floor.
+    """
     rng = np.random.RandomState(seed)
+    z_map = _learnable_z_map() if learnable_z else None
 
     def make_split(subjects, n_videos):
         joint_2d, conf, joint3d, factor, cams, sources, actions = \
@@ -57,6 +85,9 @@ def make_h36m_pickle(path, n_frames_per_video=64, seed=0,
                         s, a_idx + 2, vid % 4 + 1)
                 n = n_frames_per_video + (vid % 3) * 7  # uneven lengths
                 m3d = _smooth_motion(rng, n)
+                if z_map is not None:
+                    xy_c = (m3d[..., :2] - _MOTION_CENTER_XY) / _MOTION_SCALE
+                    m3d[..., 2] = xy_c.reshape(n, 34) @ z_map
                 m3d[..., 2] += rng.uniform(100, 200)
                 joint3d.append(m3d)
                 joint_2d.append(m3d[..., :2] + rng.normal(0, 2, (n, 17, 2)))
@@ -79,7 +110,8 @@ def make_h36m_pickle(path, n_frames_per_video=64, seed=0,
             "action": np.array(actions, dtype=object),
         }
 
-    data = {"train": make_split([1, 5], 3), "test": make_split([9, 11], 3)}
+    data = {"train": make_split(list(train_subjects), train_videos),
+            "test": make_split([9, 11], 3)}
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(data, f)

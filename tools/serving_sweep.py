@@ -1,0 +1,157 @@
+"""Serving saturation sweep (VERDICT r4 #5): closed-loop client counts
+{16, 48, 96, 192} against the BatchingServer, reporting sustained clips/s,
+avg device batch, and p50/p99 request latency per point — the knee curve
+behind the single 48-client number bench records.
+
+The reference has no serving layer (its closest surface is the batch
+script /root/reference/infer_wild.py); this measures the repo's
+beyond-reference serving tier (motionbert_tpu/serve.py) where it
+saturates, instead of quoting one operating point.
+
+Writes data/serving_sweep.json (committed, timestamped); bench.py folds it
+into the artifact detail sidecar. Run standalone on the real chip:
+
+  python tools/serving_sweep.py [--clients 16 48 96 192] [--per-thread 12]
+
+NOTE: each client count n compiles a (n, 243) executable through the fused
+Pallas kernels — fresh Mosaic compiles are minutes each on the degraded
+tunnel service, which is why this is a standalone tool (ground into the
+persistent cache once) and not a default bench stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+OUT_PATH = os.path.join(REPO, "data", "serving_sweep.json")
+
+
+def sweep_point(fwd, variables, n_threads: int, per_thread: int,
+                max_wait_ms: float = 3.0):
+    """One closed-loop point: n_threads submit-wait-repeat clients."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from motionbert_tpu.serve import BatchingServer
+
+    buckets = (1, 8, n_threads) if n_threads > 8 else (1, n_threads)
+
+    def fetch(y):  # device->host fetch closes every window (bench._chain)
+        return float(jnp.ravel(y)[0].astype(jnp.float32))
+
+    for b in buckets:  # pre-warm each (bucket, 243) executable
+        t0 = time.perf_counter()
+        fetch(fwd(variables, jnp.zeros((b, 243, 17, 3), jnp.bfloat16)))
+        dt = time.perf_counter() - t0
+        if dt > 5.0:
+            print(f"  warm bucket {b}: {dt:.0f}s (fresh compile)",
+                  file=sys.stderr)
+
+    rs = np.random.RandomState(0)
+    clip = rs.uniform(-1, 1, (243, 17, 3)).astype(np.float32)
+
+    def fn(x):
+        return np.asarray(fwd(variables, jnp.asarray(x, jnp.bfloat16)),
+                          np.float32)
+
+    lat_lock = threading.Lock()
+    latencies: list = []
+
+    with BatchingServer(fn, batch_buckets=buckets,
+                        max_wait_ms=max_wait_ms) as srv:
+        def client():
+            mine = []
+            for _ in range(per_thread):
+                t0 = time.perf_counter()
+                srv.submit(clip).result()
+                mine.append(time.perf_counter() - t0)
+            with lat_lock:
+                latencies.extend(mine)
+
+        threads = [threading.Thread(target=client)
+                   for _ in range(n_threads)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        stats = srv.stats
+
+    lat = np.sort(np.asarray(latencies)) * 1000.0
+    return {
+        "clients": n_threads,
+        "requests": int(stats.requests),
+        "clips_per_sec": round(n_threads * per_thread / wall, 1),
+        "avg_batch": round(stats.avg_batch_size, 1),
+        "batches": int(stats.batches),
+        "p50_ms": round(float(np.percentile(lat, 50)), 1),
+        "p99_ms": round(float(np.percentile(lat, 99)), 1),
+        "wall_s": round(wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, nargs="+",
+                    default=[16, 48, 96, 192])
+    ap.add_argument("--per-thread", type=int, default=12)
+    ap.add_argument("--out", default=OUT_PATH)
+    opts = ap.parse_args()
+
+    from motionbert_tpu.core.probe import require_backend
+
+    require_backend(tool="serving_sweep")
+    from motionbert_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from motionbert_tpu.models.dstformer import DSTformer
+    from motionbert_tpu.models.factory import (FLAGSHIP_CONFIG,
+                                               default_attn_impl)
+
+    model = DSTformer(dtype=jnp.bfloat16, attn_impl=default_attn_impl(),
+                      **FLAGSHIP_CONFIG)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 243, 17, 3), jnp.float32))
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+
+    points = []
+    for n in opts.clients:
+        print(f"point: {n} clients x {opts.per_thread} clips",
+              file=sys.stderr)
+        points.append(sweep_point(fwd, variables, n, opts.per_thread))
+        print("  " + json.dumps(points[-1]), file=sys.stderr)
+
+    best = max(points, key=lambda p: p["clips_per_sec"])
+    result = {
+        "what": "closed-loop serving saturation sweep "
+                "(tools/serving_sweep.py; flagship bf16, fused kernels, "
+                "flip-TTA off, max_wait_ms=3)",
+        "device": str(jax.devices()[0]),
+        "points": points,
+        "knee": {"clients": best["clients"],
+                 "clips_per_sec": best["clips_per_sec"]},
+        "measured_at_unix": int(time.time()),
+    }
+    os.makedirs(os.path.dirname(opts.out), exist_ok=True)
+    tmp = opts.out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(result, f, indent=1)
+    os.replace(tmp, opts.out)
+    print(json.dumps(result["knee"] | {"out": opts.out}))
+
+
+if __name__ == "__main__":
+    main()
