@@ -166,3 +166,29 @@ def test_motionbert_server_lift_matches_api_lift():
             out = f.result(timeout=60)
             np.testing.assert_allclose(out, direct[i], rtol=2e-5, atol=2e-5)
             np.testing.assert_allclose(out[:, 0, :], 0.0)  # root-relative
+
+
+def test_serving_sweep_point_stats():
+    """tools/serving_sweep.sweep_point measures a closed-loop point's
+    throughput and latency percentiles correctly against a stub fn (the
+    on-chip tool reuses this exact plumbing, VERDICT r4 #5)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import jax
+    import jax.numpy as jnp
+    from serving_sweep import sweep_point
+
+    calls = []
+
+    def fwd(variables, x):  # stub "jitted fn": identity with batch record
+        calls.append(int(x.shape[0]))
+        return jnp.asarray(x)
+
+    out = sweep_point(fwd, None, n_threads=6, per_thread=3, max_wait_ms=20)
+    assert out["clients"] == 6 and out["requests"] == 18
+    assert out["clips_per_sec"] > 0 and out["batches"] >= 1
+    assert 0 < out["p50_ms"] <= out["p99_ms"]
+    assert 1.0 <= out["avg_batch"] <= 6.0
+    # buckets for n<=8 are (1, 6): no dispatched batch may exceed the cap
+    assert max(calls) <= 6
