@@ -452,6 +452,17 @@ def _serving_sweep_detail():
         return {}
 
 
+def _profile_detail():
+    """The committed model-level forward attribution
+    (tools/profile_forward.py, VERDICT r4 #7) for the artifact detail."""
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "data", "profile_forward.json")) as f:
+            return {"forward_profile": json.load(f)}
+    except Exception:
+        return {}
+
+
 def _load_task_gate_anchor():
     """(variables, meta) from the committed trained anchor, or None."""
     try:
@@ -1036,6 +1047,8 @@ def main():
             # from tools/serving_sweep.py (standalone: its fresh batch
             # geometries are minutes-long Mosaic compiles)
             **_serving_sweep_detail(),
+            # model-level forward attribution (VERDICT r4 #7)
+            **_profile_detail(),
             "kernel_parity": parity.get("status", "unknown"),
             "kernel_parity_detail": {k: v for k, v in parity.items()
                                      if k != "status"},
