@@ -54,9 +54,11 @@ class BatchingServer:
     fn: callable taking a (B, T, J, C) numpy/jax array and returning an
         array or pytree with a leading batch dimension.
     batch_buckets: allowed device batch sizes, ascending. A group of n
-        same-length requests runs at the smallest bucket >= n (padded by
-        repeating the last clip) or is split into full buckets — so each
-        clip length compiles at most len(batch_buckets) executables.
+        same-length requests is split greedily into the largest buckets
+        that fit entirely; only the final sub-bucket remainder is padded
+        (by repeating the last clip) up to the smallest bucket >= it — so
+        each clip length compiles at most len(batch_buckets) executables
+        and padding waste is bounded by one bucket step.
     max_wait_ms: how long the collector holds an incomplete batch open for
         stragglers before dispatching (the latency/throughput knob).
     """
@@ -75,6 +77,7 @@ class BatchingServer:
         # pass the check while shutdown() enqueues the sentinel, landing its
         # item BEHIND the sentinel where the worker never sees it
         self._submit_lock = threading.Lock()
+        self._plan_memo: dict = {}  # group size -> [(take, bucket), ...]
         self.stats = ServerStats()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="mbt-serving-collector")
@@ -119,6 +122,51 @@ class BatchingServer:
                 return b
         return self._buckets[-1]
 
+    # One dispatch costs ~29 ms on the measured serving path (RPC + host
+    # stack/fetch) ~= 4 rows of device compute at the ~8.5 ms/row the
+    # closed-loop sweep sustains — so splitting a group beats padding it
+    # only when it saves more than ~4 padded rows per extra dispatch.
+    # With buckets (1,8,...,96,192), 105 waiting clips plan as 96+8+1
+    # real rows (the r5 sweep's 192-client point padded them to one
+    # 192-row batch and lost 45% of device time); with (1,8,48) a
+    # 44-clip group still pads to one 48 batch rather than six 8s.
+    DISPATCH_OVERHEAD_ROWS = 4
+
+    def _plan_chunks(self, n: int):
+        """Split an n-request group into [(take, bucket), ...] minimizing
+        total cost = sum(bucket rows) + overhead per dispatch."""
+        memo = self._plan_memo
+        if n in memo:
+            return memo[n]
+        best: dict = {0: (0.0, None)}  # m -> (cost, (take, bucket))
+
+        def cost(m):
+            if m in best:
+                return best[m][0]
+            c = self._bucket_for(m) + self.DISPATCH_OVERHEAD_ROWS \
+                if m <= self._buckets[-1] else float("inf")
+            choice = (m, self._bucket_for(m))
+            for b in self._buckets:
+                if b > m or b == 0:
+                    continue
+                cb = b + self.DISPATCH_OVERHEAD_ROWS + cost(m - b)
+                if cb < c:
+                    c, choice = cb, (b, b)
+            best[m] = (c, choice)
+            return c
+
+        cost(n)
+        plan, m = [], n
+        while m > 0:
+            take, bucket = best[m][1]
+            plan.append((take, bucket))
+            m -= take
+        # big chunks first: resolving the large batch releases most
+        # closed-loop callers earliest
+        plan.sort(key=lambda t: -t[0])
+        memo[n] = plan
+        return plan
+
     def _collect(self):
         """Block for one item, then gather more until the oldest item's
         deadline passes or the largest bucket fills. Returns (items, done)
@@ -146,10 +194,8 @@ class BatchingServer:
         from motionbert_tpu.infer.batching import (
             fetch_result, stack_padded, unstack_result)
 
-        while group:
-            take = min(len(group), self._buckets[-1])
+        for take, bucket in self._plan_chunks(len(group)):
             chunk, group = group[:take], group[take:]
-            bucket = self._bucket_for(len(chunk))
             # everything from stacking on is guarded: a bad clip (e.g. same
             # T but mismatched trailing shape) must fail its own futures,
             # never the collector thread

@@ -192,3 +192,56 @@ def test_serving_sweep_point_stats():
     assert 1.0 <= out["avg_batch"] <= 6.0
     # buckets for n<=8 are (1, 6): no dispatched batch may exceed the cap
     assert max(calls) <= 6
+
+
+def _planner(buckets):
+    s = BatchingServer.__new__(BatchingServer)
+    s._plan_memo = {}
+    s._buckets = tuple(buckets)
+    return s
+
+
+def test_plan_chunks_pads_when_split_costs_more():
+    # 44 waiting over (1,8,48): one padded 48-batch (4 pad rows) beats six
+    # 8-batches (5 extra dispatches ~= 20 rows of overhead)
+    assert _planner((1, 8, 48))._plan_chunks(44) == [(44, 48)]
+
+
+def test_plan_chunks_splits_between_far_buckets():
+    # 105 over a fine ladder: full buckets 96+8+1 (2 extra dispatches ~= 8
+    # rows) beat one 192-batch carrying 87 padded rows — the r5 saturation
+    # sweep's collapse case
+    plan = _planner((1, 8, 16, 32, 64, 96, 192))._plan_chunks(105)
+    assert plan == [(96, 96), (8, 8), (1, 1)]
+    assert sum(t for t, _ in plan) == 105
+
+
+def test_plan_chunks_oversized_group_splits_exactly():
+    plan = _planner((1, 8, 16, 32, 64, 96, 192))._plan_chunks(200)
+    assert plan == [(192, 192), (8, 8)]
+
+
+def test_plan_chunks_covers_every_size():
+    for buckets in [(1, 8, 48), (4,), (1, 8, 16, 32, 64, 96, 192)]:
+        p = _planner(buckets)
+        for n in range(1, 2 * max(buckets) + 3):
+            plan = p._plan_chunks(n)
+            assert sum(t for t, _ in plan) == n
+            for take, bucket in plan:
+                assert take <= bucket and bucket in buckets
+
+
+def test_dispatch_uses_planned_buckets():
+    # group of 9 over (1, 8, 16): planner says 8+1 (zero padding); stats
+    # must show two batches and no padded rows
+    rs = np.random.RandomState(7)
+    clips = [rs.randn(5, 17, 3).astype(np.float32) for _ in range(9)]
+    with BatchingServer(_echo_fn, batch_buckets=(1, 8, 16),
+                        max_wait_ms=200) as s:
+        futs = [s.submit(c) for c in clips]
+        outs = [f.result(timeout=10) for f in futs]
+        for c, o in zip(clips, outs):
+            np.testing.assert_allclose(o, _echo_fn(c[None])[0])
+        stats = s.stats
+    assert stats.batches == 2
+    assert stats.padded_rows == 0

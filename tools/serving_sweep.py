@@ -43,7 +43,13 @@ def sweep_point(fwd, variables, n_threads: int, per_thread: int,
 
     from motionbert_tpu.serve import BatchingServer
 
-    buckets = (1, 8, n_threads) if n_threads > 8 else (1, n_threads)
+    # Bucket ladder: greedy full-bucket peeling in the server means a
+    # collected group of ~0.55n (the closed-loop steady state at high n)
+    # runs as real rows through intermediate buckets instead of padding
+    # up to the n-bucket (the r5 sweep's 192-client collapse: avg batch
+    # 104.7 padded to 192 cost 45% of device time).
+    ladder = (1, 8, 16, 32, 64, 128)
+    buckets = tuple(b for b in ladder if b < n_threads) + (n_threads,)
 
     def fetch(y):  # device->host fetch closes every window (bench._chain)
         return float(jnp.ravel(y)[0].astype(jnp.float32))
