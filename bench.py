@@ -625,7 +625,7 @@ def _compact_summary(detail):
 _COMPACT_DROP_ORDER = (
     "serving_latency_ms_batch1", "train_clips_per_sec", "attn", "dtype",
     "kernel_parity", "mfu_vs_k512_ceiling", "achieved_tflops", "batch",
-    "gate_fp32_mpjpe_mm", "gate_bf16_mpjpe_delta_mm", "gate_gate_mm")
+    "gate_fp32_mpjpe_mm", "gate_bf16_mpjpe_delta_mm", "gate_mm")
 
 
 def _emit_artifact(artifact):
@@ -1037,6 +1037,9 @@ def main():
                 "q8_ms_stream_vs_pair": [45.36, 42.36],
                 "onchip_rel_err_vs_pair": [0.00057, 0.0014],
                 "task_gate_q8_stream_mpjpe_delta_mm": 2.3136,
+                "task_gate_anchor": "random-init (r4; predates the "
+                                    "trained anchor — re-gate via "
+                                    "--stream before citing)",
                 "measured": "r4 tools/probe_stream (opt-in: --stream)",
             },
             # on-chip training convergence witness (VERDICT r4 #6): the

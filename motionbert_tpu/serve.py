@@ -138,24 +138,21 @@ class BatchingServer:
         memo = self._plan_memo
         if n in memo:
             return memo[n]
-        best: dict = {0: (0.0, None)}  # m -> (cost, (take, bucket))
-
-        def cost(m):
-            if m in best:
-                return best[m][0]
+        # bottom-up DP (iterative — a recursive cost(m) -> cost(m-1) chain
+        # would hit Python's recursion limit for ladders with a top bucket
+        # in the ~1000s): m -> (cost, (take, bucket))
+        best: dict = {0: (0.0, None)}
+        for m in range(1, n + 1):
             c = self._bucket_for(m) + self.DISPATCH_OVERHEAD_ROWS \
                 if m <= self._buckets[-1] else float("inf")
             choice = (m, self._bucket_for(m))
             for b in self._buckets:
                 if b > m or b == 0:
                     continue
-                cb = b + self.DISPATCH_OVERHEAD_ROWS + cost(m - b)
+                cb = b + self.DISPATCH_OVERHEAD_ROWS + best[m - b][0]
                 if cb < c:
                     c, choice = cb, (b, b)
             best[m] = (c, choice)
-            return c
-
-        cost(n)
         plan, m = [], n
         while m > 0:
             take, bucket = best[m][1]

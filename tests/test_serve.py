@@ -172,12 +172,20 @@ def test_serving_sweep_point_stats():
     """tools/serving_sweep.sweep_point measures a closed-loop point's
     throughput and latency percentiles correctly against a stub fn (the
     on-chip tool reuses this exact plumbing, VERDICT r4 #5)."""
+    import importlib
+    import os
     import sys
 
-    sys.path.insert(0, "tools")
-    import jax
-    import jax.numpy as jnp
-    from serving_sweep import sweep_point
+    tools_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools_dir)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        sweep_point = importlib.import_module("serving_sweep").sweep_point
+    finally:
+        sys.path.remove(tools_dir)
 
     calls = []
 

@@ -107,13 +107,20 @@ def main():
         lambda v, y: m_full.apply(v, y, return_rep=True), v_full, x), 2)
 
     full = out["full_ms"]
+    # a true partition (sums to 100%): marginal pre_logits/head costs from
+    # the full-model ablations (clamped at 0 — sub-ms deltas are noise),
+    # embeds+final-norm as the depth-0 model minus those two, trunk as the
+    # remainder. The depth-0 marginals are geometry-identical to the full
+    # model's, so the split is exact up to timer noise.
+    prelogits_ms = max(0.0, full - out["no_prelogits_ms"])
+    head_ms = max(0.0, full - out["rep_only_ms"])
+    embed_norm_ms = max(0.0, out["glue_depth0_ms"] - prelogits_ms - head_ms)
+    trunk_ms = full - prelogits_ms - head_ms - embed_norm_ms
     out["attribution_pct"] = {
-        "glue_depth0": round(100 * out["glue_depth0_ms"] / full, 1),
-        "pre_logits_tanh": round(
-            100 * (full - out["no_prelogits_ms"]) / full, 1),
-        "head": round(100 * (full - out["rep_only_ms"]) / full, 1),
-        "trunk": round(100 * (out["no_prelogits_ms"]
-                              - out["glue_depth0_ms"]) / full, 1),
+        "embeds_final_norm": round(100 * embed_norm_ms / full, 1),
+        "pre_logits_tanh": round(100 * prelogits_ms / full, 1),
+        "head": round(100 * head_ms / full, 1),
+        "trunk": round(100 * trunk_ms / full, 1),
     }
     out["clips_per_sec"] = round(opts.batch / (full / 1e3), 1)
     out["measured_at_unix"] = int(time.time())
