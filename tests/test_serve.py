@@ -229,6 +229,19 @@ def test_plan_chunks_oversized_group_splits_exactly():
     assert plan == [(192, 192), (8, 8)]
 
 
+def test_plan_chunks_deep_ladder_no_recursion():
+    # a ladder whose top bucket exceeds Python's recursion limit used to
+    # blow up the (formerly recursive) min-cost DP at full-group sizes;
+    # the iterative DP must plan any n up to the top bucket
+    buckets = (1, 8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+    p = _planner(buckets)
+    for n in (2048, 2047, 1999, 1100):
+        plan = p._plan_chunks(n)
+        assert sum(t for t, _ in plan) == n
+        for take, bucket in plan:
+            assert take <= bucket and bucket in buckets
+
+
 def test_plan_chunks_covers_every_size():
     for buckets in [(1, 8, 48), (4,), (1, 8, 16, 32, 64, 96, 192)]:
         p = _planner(buckets)
