@@ -4,6 +4,7 @@ from motionbert_tpu.parallel.mesh import (
     replicated,
     shard_batch,
     maybe_shard_batch,
+    padded_eval_batches,
     shard_params,
     param_partition_spec,
 )

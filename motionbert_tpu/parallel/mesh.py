@@ -63,6 +63,29 @@ def maybe_shard_batch(batch, mesh: Optional[Mesh]):
     return shard_batch(batch, mesh)
 
 
+def padded_eval_batches(loader, mesh: Optional[Mesh] = None):
+    """Iterate an eval loader for a fixed-shape jitted step: yields
+    (device_input, batch_gt, n) with the tail batch padded up to the FIRST
+    batch's size by repeating its last clip — one compiled shape on TPU
+    instead of a fresh trace per tail size — and the input sharded over
+    the mesh's data axis when one is given. Callers slice step outputs
+    (and the yielded input, if reused) back to [:n].
+
+    Assumes only the final batch can be short (BatchLoader semantics with
+    drop_last=False); a single-batch loader is its own canonical shape.
+    Shared by all four trainers' validation loops."""
+    import jax.numpy as jnp
+
+    full_bs = None
+    for batch_input, batch_gt in loader:
+        n = batch_input.shape[0]
+        full_bs = full_bs or n
+        if n < full_bs:
+            batch_input = np.concatenate(
+                [batch_input, np.repeat(batch_input[-1:], full_bs - n, 0)])
+        yield maybe_shard_batch(jnp.asarray(batch_input), mesh), batch_gt, n
+
+
 # Tensor-parallel partitioning rules for DSTformer-family params: shard the
 # hidden/output dimension of the wide kernels over "model". Column-parallel
 # for fan-out layers (qkv, fc1), row-parallel for fan-in (proj, fc2) so the

@@ -59,22 +59,20 @@ def make_action_train_step(model):
     return train_step
 
 
-_EVAL_CACHE: dict = {}
-
-
 def make_action_eval_step(model):
-    key = id(model)
-    if key in _EVAL_CACHE:
-        return _EVAL_CACHE[key][1]
+    from motionbert_tpu.train.state import memo_step
 
-    @jax.jit
-    def eval_step(params, extra_vars, batch_input):
-        logits = model.apply({"params": params, **(extra_vars or {})},
-                             batch_input, deterministic=True)
-        return logits.astype(jnp.float32)
+    def build():
+        @jax.jit
+        def eval_step(params, extra_vars, batch_input):
+            logits = model.apply({"params": params, **(extra_vars or {})},
+                                 batch_input, deterministic=True)
+            return logits.astype(jnp.float32)
 
-    _EVAL_CACHE[key] = (model, eval_step)
-    return eval_step
+        return eval_step
+
+    # memoized via the shared LRU-bounded step cache (train/state.py)
+    return memo_step((id(model), model, "action_eval"), build)
 
 
 def validate(test_loader, model, params, extra_vars, mesh=None):
@@ -85,18 +83,11 @@ def validate(test_loader, model, params, extra_vars, mesh=None):
     import numpy as np
 
     from motionbert_tpu.core.metrics import AverageMeter, accuracy_topk
-    from motionbert_tpu.parallel import maybe_shard_batch
+    from motionbert_tpu.parallel import padded_eval_batches
 
     eval_step = make_action_eval_step(model)
     losses, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
-    full_bs = None
-    for batch_input, batch_gt in test_loader:
-        n = batch_input.shape[0]
-        full_bs = full_bs or n
-        if n < full_bs:
-            batch_input = np.concatenate(
-                [batch_input, np.repeat(batch_input[-1:], full_bs - n, 0)])
-        batch_input = maybe_shard_batch(jnp.asarray(batch_input), mesh)
+    for batch_input, batch_gt, n in padded_eval_batches(test_loader, mesh):
         logits = np.asarray(eval_step(params, extra_vars, batch_input))[:n]
         labels = np.asarray(batch_gt)
         ce = -np.take_along_axis(

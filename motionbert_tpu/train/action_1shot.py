@@ -44,32 +44,24 @@ def make_supcon_train_step(model, hidden_dim: int, temperature: float):
     return train_step
 
 
-_EMBED_CACHE: dict = {}
-
-
 def extract_feats(loader, model, params, mesh=None):
     import numpy as np
 
-    from motionbert_tpu.parallel import maybe_shard_batch
+    from motionbert_tpu.parallel import padded_eval_batches
+    from motionbert_tpu.train.state import memo_step
 
-    if id(model) in _EMBED_CACHE:
-        embed = _EMBED_CACHE[id(model)][1]
-    else:
+    def build():
         @jax.jit
         def embed(params, x):
             return model.apply({"params": params}, x, deterministic=True)
 
-        _EMBED_CACHE[id(model)] = (model, embed)
+        return embed
+
+    # memoized via the shared LRU-bounded step cache (train/state.py)
+    embed = memo_step((id(model), model, "embed"), build)
 
     feats, gts = [], []
-    full_bs = None
-    for batch_input, batch_gt in loader:
-        n = batch_input.shape[0]
-        full_bs = full_bs or n
-        if n < full_bs:
-            batch_input = np.concatenate(
-                [batch_input, np.repeat(batch_input[-1:], full_bs - n, 0)])
-        batch_input = maybe_shard_batch(jnp.asarray(batch_input), mesh)
+    for batch_input, batch_gt, n in padded_eval_batches(loader, mesh):
         feats.append(np.asarray(embed(params, batch_input))[:n])
         gts.append(np.asarray(batch_gt))
     return np.concatenate(feats), np.concatenate(gts)

@@ -47,18 +47,23 @@ def make_mesh_train_step(model, lambdas: dict, loss_type: str = "L1"):
     return train_step
 
 
-_EVAL_CACHE: dict = {}
-
-
 def make_mesh_eval_step(model, smpl_model, flip_tta: bool):
     """Flip-averaged inference: the flipped prediction is mapped back by
     flipping the predicted thetas and re-running the SMPL layer
-    (reference train_mesh.py:83-108). Memoized by model identity so
-    repeated validation calls reuse one traced step."""
-    key = (id(model), flip_tta)
-    if key in _EVAL_CACHE:
-        return _EVAL_CACHE[key][1]
+    (reference train_mesh.py:83-108). Memoized by (model, smpl_model)
+    identity — the SMPL layer is baked into the flip-TTA trace, so a
+    different body model must produce a fresh step — via the shared
+    LRU-bounded cache (train/state.py::memo_step)."""
+    from motionbert_tpu.train.state import IdKey, memo_step
 
+    # IdKey: MeshRegressor embeds the SMPL arrays, so neither the module
+    # nor the body model is hashable — key both by identity
+    key = (IdKey(model), IdKey(smpl_model), "mesh_eval", flip_tta)
+    return memo_step(key, lambda: _build_mesh_eval_step(
+        model, smpl_model, flip_tta))
+
+
+def _build_mesh_eval_step(model, smpl_model, flip_tta):
     @jax.jit
     def eval_step(params, extra_vars, batch_input):
         variables = {"params": params, **(extra_vars or {})}
@@ -83,7 +88,6 @@ def make_mesh_eval_step(model, smpl_model, flip_tta: bool):
         }
         return {k: (out[k] + back[k]) * 0.5 for k in out}
 
-    _EVAL_CACHE[key] = (model, eval_step)
     return eval_step
 
 
@@ -95,7 +99,7 @@ def validate(test_loader, model, params, extra_vars, smpl_model, args,
     import numpy as np
 
     from motionbert_tpu.core.metrics import AverageMeter
-    from motionbert_tpu.parallel import maybe_shard_batch
+    from motionbert_tpu.parallel import padded_eval_batches
 
     eval_step = make_mesh_eval_step(model, smpl_model,
                                     flip_tta=args.get("flip", False))
@@ -107,29 +111,24 @@ def validate(test_loader, model, params, extra_vars, smpl_model, args,
     # cached closure.
     from motionbert_tpu.losses.mesh import LAMBDA_KEYS
 
+    from motionbert_tpu.train.state import memo_step
+
     lambdas = {k: float(args[k]) for k in LAMBDA_KEYS}
     loss_type = args.get("loss_type", "L1")
-    key = ("val_loss", tuple(sorted(lambdas.items())), loss_type)
-    if key in _EVAL_CACHE:
-        val_loss = _EVAL_CACHE[key]
-    else:
+
+    def build():
         @jax.jit
         def val_loss(out, gt):
             return mesh_total_loss(out, gt, lambdas, loss_type)
 
-        _EVAL_CACHE[key] = val_loss
+        return val_loss
+
+    val_loss = memo_step(
+        ("val_loss", tuple(sorted(lambdas.items())), loss_type), build)
     losses = AverageMeter()
     terms_meters: dict = {}
     results = {"kp_3d": [], "verts": [], "kp_3d_gt": [], "verts_gt": []}
-    full_bs = None
-    for batch_input, batch_gt in test_loader:
-        n = batch_input.shape[0]
-        full_bs = full_bs or n
-        if n < full_bs:
-            pad = lambda x: np.concatenate(
-                [x, np.repeat(x[-1:], full_bs - n, 0)])
-            batch_input = pad(batch_input)
-        batch_input = maybe_shard_batch(jnp.asarray(batch_input), mesh)
+    for batch_input, batch_gt, n in padded_eval_batches(test_loader, mesh):
         out = eval_step(params, extra_vars, batch_input)
         out = {k: np.asarray(v)[:n] for k, v in out.items()}
         gt = {k: np.asarray(v) for k, v in batch_gt.items()}
@@ -308,7 +307,8 @@ def train_with_config(args, opts):
     for epoch in range(st, args.epochs):
         print(f"Training epoch {epoch}.")
         for train_ld, _ in loaders.values():
-            train_ld.set_epoch(epoch)  # resume-safe augmentation epoch
+            if train_ld is not None:  # pw3d may be eval-only (train_pw3d: false)
+                train_ld.set_epoch(epoch)  # resume-safe augmentation epoch
         losses: dict = {}
         test_mpjpe = None
         if "h36m" in loaders and epoch < args.get("warmup_h36m", args.epochs):

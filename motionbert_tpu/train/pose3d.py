@@ -96,26 +96,9 @@ def make_train_step(model, lambdas: dict, *, rootrel: bool, no_conf: bool,
 
 
 
-# Builders are memoized by model identity: rebuilding the closure each call
-# would defeat jax.jit's trace cache (one full retrace per epoch; the
-# remote-compile TPU path makes that minutes of dead time). The cache holds
-# a strong model ref (in the key) so ids stay valid, and is LRU-bounded so a
-# long-lived process that builds many models (e.g. a serving host reloading
-# checkpoints) cannot grow it without limit.
-from collections import OrderedDict
-
-_STEP_CACHE: "OrderedDict" = OrderedDict()
-_STEP_CACHE_MAX = 32  # trainers use ~3 entries/model; 32 ≈ 10 live models
-
-
-def _memo(key, build):
-    if key in _STEP_CACHE:
-        _STEP_CACHE.move_to_end(key)
-        return _STEP_CACHE[key]
-    val = _STEP_CACHE[key] = build()
-    while len(_STEP_CACHE) > _STEP_CACHE_MAX:
-        _STEP_CACHE.popitem(last=False)
-    return val
+# Builders are memoized by model identity via the shared LRU-bounded step
+# cache (train/state.py::memo_step — see its docstring for why).
+from motionbert_tpu.train.state import memo_step as _memo
 
 
 def make_eval_step(model, *, no_conf: bool, flip_tta: bool):
@@ -157,22 +140,12 @@ def evaluate(args, model, params, test_loader, datareader,
     import numpy as np
 
     from motionbert_tpu.geometry.procrustes import mpjpe, p_mpjpe
-    from motionbert_tpu.parallel import maybe_shard_batch
+    from motionbert_tpu.parallel import padded_eval_batches
 
     eval_step = make_eval_step(model, no_conf=args.get("no_conf", False),
                                flip_tta=args.get("flip", False))
     results_all = []
-    full_bs = None
-    for batch_input, batch_gt in test_loader:
-        n = batch_input.shape[0]
-        full_bs = full_bs or n
-        if n < full_bs:  # pad the tail batch: one compiled shape on TPU
-            batch_input = np.concatenate(
-                [batch_input, np.repeat(batch_input[-1:], full_bs - n, 0)])
-        batch_input = jnp.asarray(batch_input)
-        # maybe_: a padded batch always divides the data axis, but the very
-        # first batch of a tiny test set can be smaller than device count
-        batch_input = maybe_shard_batch(batch_input, mesh)
+    for batch_input, _, n in padded_eval_batches(test_loader, mesh):
         pred = eval_step(params, batch_input)
         pred = np.array(pred[:n])  # writable host copy
         batch_input = batch_input[:n]

@@ -21,6 +21,46 @@ import jax.numpy as jnp
 import optax
 
 
+# Jitted-step memoization shared by the four trainers: rebuilding a step
+# closure each call would defeat jax.jit's trace cache (one full retrace
+# per epoch — minutes of dead time on the remote-compile TPU path). Keys
+# must embed the model OBJECT (the strong ref keeps its id() from being
+# recycled); the cache is LRU-bounded so a long-lived process that builds
+# many models (e.g. a serving host reloading checkpoints) cannot grow it
+# without limit.
+from collections import OrderedDict
+
+_STEP_CACHE: "OrderedDict" = OrderedDict()
+_STEP_CACHE_MAX = 32  # trainers use ~3 entries/model; 32 ≈ 10 live models
+
+
+class IdKey:
+    """Hashable identity wrapper for unhashable key parts (e.g. SMPLModel,
+    a frozen dataclass of arrays): keys on object identity while holding a
+    strong ref so the id stays valid for the cache entry's lifetime."""
+
+    __slots__ = ("obj",)
+
+    def __init__(self, obj):
+        self.obj = obj
+
+    def __hash__(self):
+        return id(self.obj)
+
+    def __eq__(self, other):
+        return isinstance(other, IdKey) and other.obj is self.obj
+
+
+def memo_step(key, build):
+    if key in _STEP_CACHE:
+        _STEP_CACHE.move_to_end(key)
+        return _STEP_CACHE[key]
+    val = _STEP_CACHE[key] = build()
+    while len(_STEP_CACHE) > _STEP_CACHE_MAX:
+        _STEP_CACHE.popitem(last=False)
+    return val
+
+
 def make_adamw(lr: float, weight_decay: float) -> optax.GradientTransformation:
     return optax.inject_hyperparams(optax.adamw)(
         learning_rate=lr, weight_decay=weight_decay)

@@ -251,3 +251,29 @@ def test_motion_smpl_get_batch_matches_getitem():
             # BLAS reduction order differs
             np.testing.assert_allclose(bgt[k][i], per_item[i][1][k],
                                        atol=1e-4)
+
+
+@pytest.mark.slow
+def test_mesh_trainer_eval_only_pw3d(tmp_path):
+    """train_pw3d: false with dt_file_pw3d set — the reference-supported
+    recipe of training on other sets while VALIDATING pw3d every epoch
+    (reference train_mesh.py:368-371). The pw3d loader pair is then
+    (None, test); the epoch loop must skip set_epoch/run_train on the
+    None train loader and still run the pw3d validation."""
+    import types
+
+    from motionbert_tpu.core.config import get_config
+    from motionbert_tpu.train.mesh import train_with_config
+
+    args = get_config("configs/mesh/MB_train_synth_smoke.yaml")
+    args["train_pw3d"] = False
+    args["epochs"] = 1
+    args["checkpoint_frequency"] = 1
+    opts = types.SimpleNamespace(checkpoint=str(tmp_path), pretrained="",
+                                 resume="", evaluate="", selection="",
+                                 seed=0)
+    out = train_with_config(args, opts)
+    # pw3d validation ran (best_jpe picked up a real metric) and the
+    # epoch checkpoint was written
+    assert np.isfinite(out["best_jpe"])
+    assert os.path.exists(os.path.join(str(tmp_path), "latest_epoch.ckpt"))

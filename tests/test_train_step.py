@@ -214,3 +214,27 @@ def test_eval_step_flip_tta():
     out_f = ev(state.params, flip_data_jnp(x))
     np.testing.assert_allclose(np.asarray(flip_data_jnp(out_f)),
                                np.asarray(out), atol=1e-5)
+
+
+def test_padded_eval_batches_pads_tail_only():
+    """The shared eval-loop helper (parallel.padded_eval_batches): tail
+    batch padded to the first batch's size by repeating the last clip,
+    earlier batches untouched, n reports the real count."""
+    import numpy as np
+
+    from motionbert_tpu.parallel import padded_eval_batches
+
+    batches = [(np.arange(4 * 3).reshape(4, 3).astype(np.float32), "g0"),
+               (np.arange(4 * 3, 7 * 3).reshape(3, 3).astype(np.float32),
+                "g1")]
+    out = list(padded_eval_batches(iter(batches)))
+    assert [(n, gt) for _, gt, n in out] == [(4, "g0"), (3, "g1")]
+    x0, x1 = np.asarray(out[0][0]), np.asarray(out[1][0])
+    assert x0.shape == x1.shape == (4, 3)
+    np.testing.assert_array_equal(x0, batches[0][0])
+    np.testing.assert_array_equal(x1[:3], batches[1][0])
+    np.testing.assert_array_equal(x1[3], batches[1][0][-1])  # repeated row
+
+    # single-batch loader: its own canonical shape, never padded
+    one = list(padded_eval_batches(iter(batches[1:])))
+    assert np.asarray(one[0][0]).shape == (3, 3) and one[0][2] == 3
