@@ -298,6 +298,7 @@ def bench_mesh_training(iters=2):
 
     lambdas = {k: args[k] for k in LAMBDA_KEYS}
     step = make_mesh_train_step(model, lambdas, args.get("loss_type", "L1"))
+    smpl_args = smpl.array_pytree()
     inp = jnp.asarray(rs.uniform(-1, 1, (B, T, 17, 3)), jnp.float32)
     gt = {"theta": jnp.asarray(rs.randn(B, T, 82) * 0.2, jnp.float32),
           "kp_3d": jnp.asarray(rs.randn(B, T, 17, 3) * 100, jnp.float32),
@@ -307,7 +308,7 @@ def bench_mesh_training(iters=2):
         i, g = aux
         st, r = carry
         r, sub = jax.random.split(r)
-        st, _ = step(st, i, g, sub)
+        st, _ = step(st, i, g, sub, smpl_args)
         return (st, r)
 
     sec = _chain(one, (inp, gt), (state, jax.random.PRNGKey(1)), iters)

@@ -64,10 +64,11 @@ def run_wild_mesh(args, *, json_path: str, out_path: str, model, params,
     from motionbert_tpu.infer.batching import run_batched
 
     eval_step = make_mesh_eval_step(model, smpl_model, flip_tta=True)
+    smpl_args = smpl_model.array_pytree()
     clips = [wild_dataset[i] for i in range(len(wild_dataset))]
     outs = run_batched(clips, int(args.get("infer_batch_size", 8)),
                        lambda b: eval_step(params, extra_vars,
-                                           jnp.asarray(b)))
+                                           jnp.asarray(b), smpl_args))
     verts_all = np.concatenate([o["verts"] for o in outs])
     reg3d_all = np.concatenate([o["kp_3d"] for o in outs])
 

@@ -35,7 +35,13 @@ Dtype = Any
 
 
 def trunc_normal_init(std: float = 0.02):
-    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+    # reference trunc_normal_(std=.02, a=-2., b=2.) truncates at ABSOLUTE
+    # +/-2 (timm convention) = +/-(2/std) sigmas — effectively untruncated
+    # at std 0.02. Flax's lower/upper are in sigma units, so scale them;
+    # passing +/-2 sigma here would clip ~4.6% of draws and shrink the
+    # from-scratch init variance ~12% below the reference's.
+    return nn.initializers.truncated_normal(
+        stddev=std, lower=-2.0 / std, upper=2.0 / std)
 
 
 class DropPath(nn.Module):
@@ -197,6 +203,17 @@ class Attention(nn.Module):
         H = self.num_heads
         d = C // H
         scale = self.qk_scale if self.qk_scale is not None else d ** -0.5
+
+        if self.attn_drop and not deterministic:
+            # dropout on the attention WEIGHTS (reference DSTformer.py
+            # forward_spatial/forward_temporal) is not implemented — every
+            # shipped reference config runs attn_drop_rate=0 (learning.py
+            # load_backbone passes none). Training with it set must fail
+            # loudly rather than silently regularize differently; eval of
+            # such checkpoints is unaffected (dropout is inactive there).
+            raise NotImplementedError(
+                f"attn_drop_rate={self.attn_drop} is not supported for "
+                "training; set it to 0 (all reference configs do)")
 
         if return_params:
             wqkv, bqkv = DenseParams(C, 3 * C, use_bias=self.qkv_bias,

@@ -80,6 +80,14 @@ def _dstformer(args, **overrides):
         num_joints=_cfg_get(args, "num_joints"),
     )
     kw.update(overrides)
+    # fail at the config boundary, naming the key — a missing/typoed YAML
+    # key would otherwise surface deep inside model.init as an opaque
+    # TypeError on a None shape
+    missing = [k for k, v in kw.items() if v is None and k != "dim_rep"]
+    if missing:
+        raise KeyError(
+            f"backbone config is missing required key(s): {missing} "
+            f"(check the YAML spelling)")
     return DSTformer(**kw)
 
 

@@ -32,8 +32,15 @@ class SMPLRegressor(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, deterministic: bool = True):
-        """feat: (N, T, J, C) -> dict of (N*T, ...) SMPL outputs."""
+    def __call__(self, feat, deterministic: bool = True, smpl: dict = None):
+        """feat: (N, T, J, C) -> dict of (N*T, ...) SMPL outputs.
+
+        smpl: optional SMPLModel.array_pytree() passed as a traced jit
+        ARGUMENT — avoids embedding the body-model tensors as executable
+        constants (see smpl.SMPLModel.array_pytree). None falls back to
+        the module's static model (tests, eager use)."""
+        m = (self.smpl_model if smpl is None
+             else self.smpl_model.with_arrays(smpl))
         N, T, J, C = feat.shape
         NT = N * T
         feat = feat.reshape(N, T, J * C)
@@ -64,8 +71,8 @@ class SMPLRegressor(nn.Module):
         # model_mesh.py:23-24)
         small = nn.initializers.variance_scaling(
             0.01 ** 2, "fan_avg", "uniform")
-        init_pose = jnp.asarray(self.smpl_model.mean_pose, jnp.float32)
-        init_shape = jnp.asarray(self.smpl_model.mean_shape, jnp.float32)
+        init_pose = jnp.asarray(m.mean_pose, jnp.float32)
+        init_shape = jnp.asarray(m.mean_shape, jnp.float32)
         pred_pose = nn.Dense(24 * 6, kernel_init=small, dtype=self.dtype,
                              name="head_pose")(feat_pose) + init_pose
         pred_shape = nn.Dense(init_shape.shape[-1], kernel_init=small,
@@ -75,10 +82,10 @@ class SMPLRegressor(nn.Module):
 
         pred_rotmat = rot6d_to_rotmat(
             pred_pose.astype(jnp.float32).reshape(NT, 24, 6))  # (NT,24,3,3)
-        out = smpl_forward(self.smpl_model, pred_shape.astype(jnp.float32),
+        out = smpl_forward(m, pred_shape.astype(jnp.float32),
                            pred_rotmat, pose2rot=False)
         pred_vertices = out["vertices"] * 1000.0
-        J_h36m = jnp.asarray(self.smpl_model.J_regressor_h36m)
+        J_h36m = jnp.asarray(m.J_regressor_h36m)
         pred_joints = jnp.einsum("jv,bvc->bjc", J_h36m, pred_vertices)
         pose_aa = rotmat_to_angle_axis(
             pred_rotmat.reshape(-1, 3, 3)).reshape(NT, 72)
@@ -106,11 +113,11 @@ class MeshRegressor(nn.Module):
             num_joints=self.num_joints, hidden_dim=self.hidden_dim,
             dropout_ratio=self.dropout_ratio)
 
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, smpl: dict = None):
         N, T, J, C = x.shape
         feat = self.backbone(x, return_rep=True, deterministic=deterministic)
         feat = feat.reshape(N, T, self.num_joints, -1)
-        out = self.head(feat, deterministic=deterministic)
+        out = self.head(feat, deterministic=deterministic, smpl=smpl)
         return {
             "theta": out["theta"].reshape(N, T, -1),
             "verts": out["verts"].reshape(N, T, -1, 3),

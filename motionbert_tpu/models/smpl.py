@@ -52,6 +52,29 @@ class SMPLModel:
     mean_pose: Optional[np.ndarray] = None         # (144,) rot6d mean params
     mean_shape: Optional[np.ndarray] = None        # (10,)
 
+    # float tensors that participate in jitted forwards. The kinematic
+    # `parents` (python-level indexing at trace time) and `faces`
+    # (visualization only) stay static.
+    _ARRAY_FIELDS = ("v_template", "shapedirs", "posedirs", "J_regressor",
+                     "lbs_weights", "J_regressor_h36m", "J_regressor_extra",
+                     "mean_pose", "mean_shape")
+
+    def array_pytree(self) -> dict:
+        """The model's float tensors as a dict of device arrays — pass this
+        through jit as an ARGUMENT (and rebuild with `with_arrays` inside
+        the trace) instead of closing jitted fns over the SMPLModel: the
+        real 6890-vert model is ~19 MB of tensors, and closed-over arrays
+        embed as constants in every serialized executable, which the
+        remote compile service re-uploads per program (CLAUDE.md)."""
+        return {k: jnp.asarray(getattr(self, k))
+                for k in self._ARRAY_FIELDS if getattr(self, k) is not None}
+
+    def with_arrays(self, arrays: dict) -> "SMPLModel":
+        """A copy with the float tensors replaced (e.g. by tracers from an
+        `array_pytree()` jit argument)."""
+        from dataclasses import replace
+        return replace(self, **arrays)
+
     @property
     def num_verts(self) -> int:
         return self.v_template.shape[0]

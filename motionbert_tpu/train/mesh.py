@@ -22,13 +22,16 @@ from motionbert_tpu.train.state import TrainState
 
 
 def make_mesh_train_step(model, lambdas: dict, loss_type: str = "L1"):
+    # smpl: SMPLModel.array_pytree() — the body-model tensors ride as jit
+    # arguments, not closed-over constants (~19 MB/executable at the real
+    # 6890-vert topology through the remote compile service)
     @functools.partial(jax.jit, donate_argnames=("state",))
-    def train_step(state: TrainState, batch_input, batch_gt, rng):
+    def train_step(state: TrainState, batch_input, batch_gt, rng, smpl):
         def loss_fn(params):
             out, updates = state.apply_fn(
                 {"params": params, **(state.extra_vars or {})},
                 batch_input, deterministic=False, rngs={"dropout": rng},
-                mutable=["batch_stats"])
+                smpl=smpl, mutable=["batch_stats"])
             total, terms = mesh_total_loss(out, batch_gt, lambdas, loss_type)
             return total, (out, terms, updates)
 
@@ -64,22 +67,26 @@ def make_mesh_eval_step(model, smpl_model, flip_tta: bool):
 
 
 def _build_mesh_eval_step(model, smpl_model, flip_tta):
+    # smpl rides as a jit argument (SMPLModel.array_pytree), not a
+    # closed-over constant — see make_mesh_train_step
     @jax.jit
-    def eval_step(params, extra_vars, batch_input):
+    def eval_step(params, extra_vars, batch_input, smpl):
         variables = {"params": params, **(extra_vars or {})}
-        out = model.apply(variables, batch_input, deterministic=True)
+        out = model.apply(variables, batch_input, deterministic=True,
+                          smpl=smpl)
         if not flip_tta:
             return out
+        m = smpl_model.with_arrays(smpl)
         N, T = batch_input.shape[:2]
         out_f = model.apply(variables, flip_data_jnp(batch_input),
-                            deterministic=True)
+                            deterministic=True, smpl=smpl)
         pose_f = flip_thetas(
             out_f["theta"][..., :72].reshape(N, T, 24, 3)).reshape(N * T, 72)
         shape_f = out_f["theta"][..., 72:].reshape(N * T, -1)
-        smpl_out = smpl_forward(smpl_model, shape_f, pose_f, pose2rot=True)
+        smpl_out = smpl_forward(m, shape_f, pose_f, pose2rot=True)
         verts_f = smpl_out["vertices"] * 1000.0
         kp_f = jnp.einsum("jv,bvc->bjc",
-                          jnp.asarray(smpl_model.J_regressor_h36m), verts_f)
+                          jnp.asarray(m.J_regressor_h36m), verts_f)
         back = {
             "theta": jnp.concatenate(
                 [pose_f.reshape(N, T, -1), shape_f.reshape(N, T, -1)], -1),
@@ -128,8 +135,9 @@ def validate(test_loader, model, params, extra_vars, smpl_model, args,
     losses = AverageMeter()
     terms_meters: dict = {}
     results = {"kp_3d": [], "verts": [], "kp_3d_gt": [], "verts_gt": []}
+    smpl_args = smpl_model.array_pytree()  # device-resident once per call
     for batch_input, batch_gt, n in padded_eval_batches(test_loader, mesh):
-        out = eval_step(params, extra_vars, batch_input)
+        out = eval_step(params, extra_vars, batch_input, smpl_args)
         out = {k: np.asarray(v)[:n] for k, v in out.items()}
         gt = {k: np.asarray(v) for k, v in batch_gt.items()}
         total, terms = val_loss(
@@ -284,6 +292,7 @@ def train_with_config(args, opts):
     lambdas = {k: args[k] for k in LAMBDA_KEYS}
     train_step = make_mesh_train_step(model, lambdas,
                                       args.get("loss_type", "L1"))
+    smpl_args = smpl_model.array_pytree()  # device-resident, jit argument
 
     print_freq = int(getattr(opts, "print_freq", 100) or 100)
 
@@ -294,7 +303,7 @@ def train_with_config(args, opts):
             bi, bg = maybe_shard_batch(
                 (jnp.asarray(batch_input),
                  jax.tree_util.tree_map(jnp.asarray, batch_gt)), mesh)
-            state, terms = train_step(state, bi, bg, sub)
+            state, terms = train_step(state, bi, bg, sub, smpl_args)
             for k, v in terms.items():
                 losses.setdefault(k, AverageMeter()).update(
                     float(v), batch_input.shape[0])

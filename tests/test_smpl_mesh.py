@@ -150,9 +150,10 @@ def test_mesh_loss_and_train_step():
                    lambda_lv=0, lambda_lg=0, lambda_a=0, lambda_av=0,
                    lambda_pose=1000, lambda_shape=1, lambda_norm=20)
     step = make_mesh_train_step(model, lambdas, "L1")
+    smpl_args = MODEL.array_pytree()
     first = None
     for i in range(10):
-        state, terms = step(state, xb, gt, jax.random.PRNGKey(i))
+        state, terms = step(state, xb, gt, jax.random.PRNGKey(i), smpl_args)
         if first is None:
             first = float(terms["total"])
     assert float(terms["total"]) < first
@@ -224,7 +225,8 @@ def test_flip_tta_eval_step():
     variables = model.init(jax.random.PRNGKey(0), x)
     ev = make_mesh_eval_step(model, MODEL, flip_tta=True)
     out = ev(variables["params"],
-             {"batch_stats": variables["batch_stats"]}, x)
+             {"batch_stats": variables["batch_stats"]}, x,
+             MODEL.array_pytree())
     assert out["verts"].shape == (2, 8, MODEL.num_verts, 3)
     assert bool(jnp.isfinite(out["verts"]).all())
 
@@ -277,3 +279,40 @@ def test_mesh_trainer_eval_only_pw3d(tmp_path):
     # epoch checkpoint was written
     assert np.isfinite(out["best_jpe"])
     assert os.path.exists(os.path.join(str(tmp_path), "latest_epoch.ckpt"))
+
+
+def test_mesh_apply_embeds_no_smpl_constants():
+    """With smpl=SMPLModel.array_pytree() passed as a jit argument, the
+    traced mesh forward must embed NO body-model-sized constants — at the
+    real 6890-vert topology closed-over SMPL tensors are ~19 MB of
+    serialized executable that the remote compile service re-uploads per
+    program (CLAUDE.md)."""
+    from motionbert_tpu.models.dstformer import DSTformer
+    from motionbert_tpu.models.mesh_head import MeshRegressor
+
+    backbone = DSTformer(dim_in=3, dim_out=3, dim_feat=32, dim_rep=32,
+                         depth=1, num_heads=4, mlp_ratio=2, num_joints=17,
+                         maxlen=8)
+    model = MeshRegressor(backbone=backbone, smpl_model=MODEL, dim_rep=32,
+                          hidden_dim=64, dropout_ratio=0.0)
+    x = jnp.zeros((2, 8, 17, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    smpl_args = MODEL.array_pytree()
+
+    def fwd(p, xx, s):
+        return model.apply({"params": p, "batch_stats": v["batch_stats"]},
+                           xx, deterministic=True, smpl=s)
+
+    closed = jax.make_jaxpr(fwd)(v["params"], x, smpl_args)
+    # the biggest SMPL tensor (posedirs, V*3*207) must not appear among
+    # the trace constants; small glue consts (LN scales etc.) are fine
+    big = MODEL.posedirs.size
+    sizes = [int(np.prod(c.shape)) for c in closed.consts
+             if getattr(c, "shape", None)]
+    assert all(s < big for s in sizes), sizes
+
+    # and the arrays DO flow in as arguments: outputs respond to them
+    out = fwd(v["params"], x, smpl_args)
+    shifted = dict(smpl_args, v_template=smpl_args["v_template"] + 0.1)
+    out2 = fwd(v["params"], x, shifted)
+    assert float(jnp.abs(out2["verts"] - out["verts"]).max()) > 0
