@@ -43,9 +43,14 @@ def _build_payload(*, epoch: int, lr: float, params, opt_state=None,
 
 
 def _write_payload(path: str, payload: dict):
+    _write_bytes(path, pickle.dumps(payload,
+                                    protocol=pickle.HIGHEST_PROTOCOL))
+
+
+def _write_bytes(path: str, blob: bytes):
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        f.write(blob)
     os.replace(tmp, path)  # atomic publish
 
 
@@ -187,17 +192,21 @@ class CheckpointManager:
         (epoch + 1) % checkpoint_frequency == 0, and the payload records
         epoch + 1 — the epoch resume should START from (train.py:49,297).
         """
-        # ONE device->host sweep + serialization, written up to 3 times —
-        # per-role save_checkpoint calls would re-fetch the whole
-        # params/opt_state over the slow remote-RPC link each time
-        payload = _build_payload(
-            epoch=epoch + 1, lr=lr, params=params, opt_state=opt_state,
-            extra_vars=extra_vars, best_metric=best_metric, meta=meta)
-        _write_payload(self.latest_path, payload)
+        # ONE device->host sweep + ONE serialization; the pickled bytes
+        # are then written up to 3 times — per-role save_checkpoint calls
+        # would re-fetch the whole params/opt_state over the slow
+        # remote-RPC link (and re-pickle the multi-hundred-MB tree) each
+        # time
+        blob = pickle.dumps(
+            _build_payload(epoch=epoch + 1, lr=lr, params=params,
+                           opt_state=opt_state, extra_vars=extra_vars,
+                           best_metric=best_metric, meta=meta),
+            protocol=pickle.HIGHEST_PROTOCOL)
+        _write_bytes(self.latest_path, blob)
         if (epoch + 1) % self.frequency == 0:
-            _write_payload(self.path(f"epoch_{epoch}.ckpt"), payload)
+            _write_bytes(self.path(f"epoch_{epoch}.ckpt"), blob)
         if improved:
-            _write_payload(self.path(self.BEST), payload)
+            _write_bytes(self.path(self.BEST), blob)
 
     def load_latest(self) -> Optional[dict]:
         if self.has_latest():

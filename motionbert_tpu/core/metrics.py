@@ -38,7 +38,9 @@ def accuracy_topk(logits, labels, topk=(1,)):
     labels = np.asarray(labels)
     maxk = max(topk)
     n = labels.shape[0]
-    # indices of top-maxk classes, descending
-    pred = np.argsort(-logits, axis=1)[:, :maxk]  # (N, maxk)
+    # indices of top-maxk classes, descending; stable sort so tied logits
+    # break toward lower class indices like torch.topk (default quicksort
+    # orders ties arbitrarily — measurably diverges on saturated logits)
+    pred = np.argsort(-logits, axis=1, kind="stable")[:, :maxk]  # (N, maxk)
     correct = pred == labels[:, None]  # (N, maxk)
     return [100.0 * float(correct[:, :k].any(axis=1).sum()) / n for k in topk]

@@ -70,12 +70,9 @@ def rot6d_to_rotmat(x):
     a2 = x[:, :, 1]
 
     def _normalize(v, eps=1e-6):
-        # sum-square + double-where instead of jnp.linalg.norm: norm has a
-        # NaN gradient at exactly 0 that the eps clamp does NOT block
-        # (CLAUDE.md invariant), and this sits on the mesh training path
-        sq = jnp.sum(v * v, axis=-1, keepdims=True)
-        n = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
-        return v / jnp.maximum(n, eps)
+        # the NaN-free normalize idiom lives in ONE place (f_normalize's
+        # docstring contract); value-identical at this eps
+        return f_normalize(v, eps=eps)
 
     b1 = _normalize(a1)
     dot = jnp.sum(b1 * a2, axis=-1, keepdims=True)

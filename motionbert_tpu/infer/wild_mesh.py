@@ -35,8 +35,11 @@ def solve_scale(x, y):
         p0 = [init_scale, 0.0, 0.0, 0.0]
         est = least_squares(err, p0, args=(x.reshape(-1, 3),
                                            y.reshape(-1, 3)))
-        if est["fun"] < best_res:
-            best_res = est["fun"]
+        # est["fun"] is a shape-(1,) residual array; take the scalar
+        # explicitly (ndim>0 -> scalar conversion is deprecated in numpy)
+        res = float(est["fun"][0])
+        if res < best_res:
+            best_res = res
             best_scale = est["x"][0]
     print("Pose matching error = %.2f mm." % best_res)
     return best_scale

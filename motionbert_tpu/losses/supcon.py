@@ -49,7 +49,12 @@ def supcon_loss(features, labels=None, mask=None, temperature: float = 0.07,
 
     exp_logits = jnp.exp(logits) * logits_mask
     log_prob = logits - jnp.log(exp_logits.sum(axis=1, keepdims=True))
-    mean_log_prob_pos = (mask * log_prob).sum(axis=1) / mask.sum(axis=1)
+    # guard mask.sum==0 (an anchor with NO positives, e.g. n_views=1 and a
+    # batch-unique label): the reference 0/0-NaNs here but its only caller
+    # always has 2 views; as a public function the empty-positive anchor
+    # must contribute 0, not poison the batch mean with NaN
+    mean_log_prob_pos = (mask * log_prob).sum(axis=1) \
+        / jnp.maximum(mask.sum(axis=1), 1.0)
 
     loss = -(temperature / base_temperature) * mean_log_prob_pos
     return loss.reshape(anchor_count, bsz).mean()

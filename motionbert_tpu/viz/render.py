@@ -53,6 +53,11 @@ def bounding_box(img):
     """(min_row, max_row, min_col, max_col) of nonzero pixels
     (vismo.py:344-347)."""
     a = np.where(img != 0)
+    if a[0].size == 0:
+        # all-zero canvas (e.g. a transparency render of a frame whose
+        # joints all have zero confidence): an empty box, not a crash of
+        # the whole video job on np.min over an empty selection
+        return 0, 0, 0, 0
     return np.min(a[0]), np.max(a[0]), np.min(a[1]), np.max(a[1])
 
 

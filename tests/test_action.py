@@ -199,3 +199,28 @@ def test_validate_1shot_perfect_anchors():
     loader = [(feats, labels)]
     acc = validate_1shot(loader, loader, StubModel(), None)
     assert acc == 1.0
+
+
+def test_supcon_no_positive_anchor_is_finite():
+    """An anchor with NO positives (n_views=1, batch-unique label) must
+    contribute 0, not 0/0-NaN the whole batch mean (the reference shares
+    the flaw but its only caller always passes 2 views)."""
+    from motionbert_tpu.losses.supcon import supcon_loss
+
+    rs = np.random.RandomState(0)
+    feats = jnp.asarray(rs.normal(size=(4, 1, 8)).astype(np.float32))
+    feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    loss = supcon_loss(feats, labels=jnp.asarray([0, 0, 1, 2]))
+    assert bool(jnp.isfinite(loss))
+
+
+def test_accuracy_topk_tie_break_matches_torch():
+    """Tied logits must break toward LOWER class indices like torch.topk
+    (np.argsort's default quicksort orders ties arbitrarily)."""
+    from motionbert_tpu.core.metrics import accuracy_topk
+
+    logits = np.zeros((8, 60), np.float32)  # all classes tied
+    labels = np.arange(1, 9)  # none is class 0
+    top1, top5 = accuracy_topk(logits, labels, topk=(1, 5))
+    assert top1 == 0.0  # torch picks classes 0..k-1 on full ties
+    assert top5 == 50.0  # labels 1..4 fall inside the tied top-5
