@@ -43,11 +43,29 @@ class MotionBERT:
         import jax
         import jax.numpy as jnp
 
+        from motionbert_tpu.core.cache import enable_compilation_cache
         from motionbert_tpu.core.checkpoint import (
             load_checkpoint, load_torch_checkpoint)
         from motionbert_tpu.core.config import get_config
         from motionbert_tpu.models.factory import load_backbone
 
+        # like every CLI/tool entry point: without the persistent cache,
+        # each fresh process using this README-advertised API pays the
+        # slow remote-RPC compile again (CLAUDE.md)
+        enable_compilation_cache()
+        from motionbert_tpu.core.probe import backend_reachable
+
+        # guarded backend touch: with the axon plugin registered and the
+        # TPU tunnel down, jax backend init HANGS forever (never raises).
+        # Raise instead of wedging the caller's process; any backend
+        # (incl. CPU) is acceptable for the API. One subprocess probe per
+        # process — from_config is a once-per-process constructor.
+        if not backend_reachable(timeout_s=90.0):
+            raise RuntimeError(
+                "no jax backend reachable within 90s (TPU tunnel down?) — "
+                "initializing jax now would hang forever; retry when "
+                "`timeout 60 python -c 'import jax; print(jax.devices())'` "
+                "succeeds")
         args = get_config(config_path)
         model = load_backbone(args)
         if checkpoint:

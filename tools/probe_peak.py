@@ -56,31 +56,33 @@ if __name__ == "__main__":
 
     out = {"device": str(jax.devices()[0])}
 
-    # --- bf16 matmul peak: z = z @ W chained INNER times inside one jit
+    # --- bf16 matmul peak: z = z @ W chained INNER times inside one jit.
+    # W is a jit ARGUMENT, not a closure — closed-over arrays embed as
+    # constants the remote compile service re-uploads per program
     n = 4096
     w = jnp.asarray(np.random.RandomState(0).randn(n, n) * 0.01, jnp.bfloat16)
 
     @jax.jit
-    def f(z):
+    def f(w_, z):
         for _ in range(INNER):
-            z = jax.lax.dot(z, w, preferred_element_type=jnp.bfloat16)
+            z = jax.lax.dot(z, w_, preferred_element_type=jnp.bfloat16)
             z = jnp.clip(z, -2, 2)  # keep values finite across the chain
         return z
 
-    t = timeit(f, jnp.ones((n, n), jnp.bfloat16))
+    t = timeit(lambda z: f(w, z), jnp.ones((n, n), jnp.bfloat16))
     out["bf16_matmul_tflops"] = round(INNER * 2 * n**3 / t / 1e12, 1)
 
     # --- int8 matmul peak (int32 accumulation)
     wi = jnp.asarray(np.random.RandomState(1).randint(-4, 4, (n, n)), jnp.int8)
 
     @jax.jit
-    def fi(z):
+    def fi(w_, z):
         for _ in range(INNER):
-            acc = jax.lax.dot(z, wi, preferred_element_type=jnp.int32)
+            acc = jax.lax.dot(z, w_, preferred_element_type=jnp.int32)
             z = (acc >> 4).astype(jnp.int8)  # renormalize, keep dependency
         return z
 
-    t = timeit(fi, jnp.ones((n, n), jnp.int8))
+    t = timeit(lambda z: fi(wi, z), jnp.ones((n, n), jnp.int8))
     out["int8_matmul_tops"] = round(INNER * 2 * n**3 / t / 1e12, 1)
 
     # --- HBM bandwidth: y = y * c over 128 MB, chained (read+write per iter)

@@ -20,39 +20,20 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 J, C, H, HID = 17, 512, 8, 1024
 SCALE = (C // H) ** -0.5
 
 
-def _fetch(out):
-    import jax
-    import jax.numpy as jnp
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(jnp.ravel(leaf)[0].astype(jnp.float32))
-
-
-def _time_chain(step, aux, x0, iters, windows=3):
-    import jax
-
-    @jax.jit
-    def run(a, x):
-        return jax.lax.fori_loop(0, iters, lambda i, y: step(a, y), x)
-
-    _fetch(run(aux, x0))  # compile + warm
-    best = float("inf")
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        _fetch(run(aux, x0))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+from _timing import (  # noqa: E402 — canonical window-closing helpers
+    fetch_scalar as _fetch, time_chain as _time_chain)
 
 
 def make_weights(rs, dtype, tag):

@@ -7,35 +7,26 @@ peak and by how much. Diagnostic only; not run by the driver.
 """
 
 import json
+import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _timing import time_chain  # noqa: E402 — canonical window-closing
 
 B, F, J, C, H = 128, 243, 17, 512, 8
 TOKENS = B * F * J
 INNER = 8
 
 
-def timeit(fn, *args, reps=3):
-    import jax
-
-    @jax.jit
-    def run(x, *rest):
-        for _ in range(INNER):
-            x = fn(x, *rest)
-        return x
-
-    out = run(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(*args))
-        best = min(best, (time.perf_counter() - t0) / INNER)
-    return best
+def timeit(step, aux, x):
+    """step(aux, y) -> y, chained INNER times in one jit; weights ride in
+    aux as jit arguments and the window closes with a host fetch
+    (tools/_timing.py — block_until_ready returns early on axon)."""
+    return time_chain(step, aux, x, INNER)
 
 
 def main():
@@ -67,12 +58,20 @@ def main():
     scale = (C // H) ** -0.5
 
     out = {}
+    wg = jnp.asarray(rs.randn(2 * C, 2) * 0.01, dt)
+    bg = jnp.asarray([0.5, 0.5], dt)
+    # weights ride as jit ARGUMENTS (aux), not closed-over constants
+    aux = dict(ln_s=ln_s, ln_b=ln_b, wqkv=wqkv, bqkv=bqkv, wproj=wproj,
+               bproj=bproj, w1=w1, b1=b1, w2=w2, b2=b2, wg=wg, bg=bg)
+
+    def attn_step(a, y, m):
+        return fused_attention_block(y, a["ln_s"], a["ln_b"], a["wqkv"],
+                                     a["bqkv"], a["wproj"], a["bproj"],
+                                     H, scale, m, True, True)
 
     proj_flops = TOKENS * (2 * C * 3 * C + 2 * C * C)
     for mode, rows in (("spatial", 8 * J), ("temporal", F)):
-        fn = lambda y, m=mode: fused_attention_block(
-            y, ln_s, ln_b, wqkv, bqkv, wproj, bproj, H, scale, m, True, True)
-        t = timeit(fn, x)
+        t = timeit(lambda a, y, m=mode: attn_step(a, y, m), aux, x)
         score_flops = TOKENS * 4 * rows * C
         out[f"attn_{mode}"] = {
             "ms": round(t * 1e3, 2),
@@ -80,38 +79,37 @@ def main():
             "proj_only_tflops": round(proj_flops / t / 1e12, 1),
         }
 
+    def mlp_step(a, y):
+        return fused_mlp_block(y, a["ln_s"], a["ln_b"], a["w1"], a["b1"],
+                               a["w2"], a["b2"], True, True)
+
     mlp_flops = TOKENS * 2 * (2 * C * 2 * C)
-    t = timeit(lambda y: fused_mlp_block(y, ln_s, ln_b, w1, b1, w2, b2,
-                                         True, True), x)
+    t = timeit(mlp_step, aux, x)
     out["mlp"] = {"ms": round(t * 1e3, 2),
                   "tflops": round(mlp_flops / t / 1e12, 1)}
 
     # XLA glue: the per-layer att_fuse gate (concat -> Dense(2) -> softmax
     # -> mix), measured on two streams
-    wg = jnp.asarray(rs.randn(2 * C, 2) * 0.01, dt)
-    bg = jnp.asarray([0.5, 0.5], dt)
+    def gate(a, p, q):
+        al = jnp.concatenate([p, q], axis=-1) @ a["wg"] + a["bg"]
+        al = jax.nn.softmax(al.astype(jnp.float32), -1).astype(p.dtype)
+        return p * al[..., 0:1] + q * al[..., 1:2]
 
-    def gate(a, b):
-        al = jnp.concatenate([a, b], axis=-1) @ wg + bg
-        al = jax.nn.softmax(al.astype(jnp.float32), -1).astype(a.dtype)
-        return a * al[..., 0:1] + b * al[..., 1:2]
-
-    t = timeit(lambda y: gate(y, y + 1), x)
+    t = timeit(lambda a, y: gate(a, y, y + 1), aux, x)
     out["gate"] = {"ms": round(t * 1e3, 2)}
 
     # one full dual layer for reference: 8 fused blocks + gate
-    def layer(y):
+    def layer(a, y):
         def branch(y, order):
             for m in order:
-                y = fused_attention_block(y, ln_s, ln_b, wqkv, bqkv, wproj,
-                                          bproj, H, scale, m, True, True)
-                y = fused_mlp_block(y, ln_s, ln_b, w1, b1, w2, b2, True, True)
+                y = attn_step(a, y, m)
+                y = mlp_step(a, y)
             return y
 
-        return gate(branch(y, ("spatial", "temporal")),
+        return gate(a, branch(y, ("spatial", "temporal")),
                     branch(y, ("temporal", "spatial")))
 
-    t = timeit(layer, x)
+    t = timeit(layer, aux, x)
     layer_flops = 2 * (2 * proj_flops + TOKENS * 4 * (8 * J + F) * C
                        + 2 * mlp_flops)
     out["full_layer"] = {"ms": round(t * 1e3, 2),

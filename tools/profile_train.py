@@ -12,39 +12,26 @@ Diagnostic only; not run by the driver.
 """
 
 import json
+import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _timing import time_chain  # noqa: E402 — canonical window-closing
 
 B, F, J, C, H = 32, 243, 17, 512, 8
 TOKENS = B * F * J
 INNER = 8
 
 
-def timeit(make_run, reps=3):
-    import jax
-
-    out = make_run()
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(make_run())
-        best = min(best, (time.perf_counter() - t0) / INNER)
-    return best
-
-
-def chain(fn, x0):
-    import jax
-
-    @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, INNER, lambda i, y: fn(y), x)
-
-    return timeit(lambda: run(x0))
+def chain(step, aux, x0):
+    """step(aux, y) -> y chained INNER times in one jit; params/batches
+    ride in aux as jit arguments and the window closes with a host fetch
+    (tools/_timing.py — block_until_ready returns early on axon)."""
+    return time_chain(step, aux, x0, INNER)
 
 
 def main():
@@ -73,22 +60,23 @@ def main():
     inp = jnp.concatenate(
         [gt[..., :2], jnp.ones((B, 243, 17, 1), jnp.float32)], -1)
 
-    # 1. forward only (self-chained on the input slot)
-    fwd = lambda x: model.apply({"params": params}, x)
+    # 1. forward only (self-chained on the input slot; params ride in aux)
     x0 = jnp.asarray(rs.uniform(-1, 1, (B, 243, 17, 3)), jnp.bfloat16)
-    sec = chain(lambda x: fwd(x).astype(jnp.bfloat16), x0)
+    sec = chain(lambda p, x: model.apply({"params": p}, x).astype(
+        jnp.bfloat16), params, x0)
     out["fwd"] = {"ms": round(sec * 1e3, 1), "clips_per_s": round(B / sec, 1)}
 
     # 2. model fwd+bwd (grad wrt params of a trivial readout; chained on a
-    #    params-perturbation carry so iterations depend on each other)
-    def g_once(p):
+    #    params-perturbation carry so iterations depend on each other; the
+    #    input batch rides in aux)
+    def g_once(a, p):
         def f(pp):
-            return jnp.sum(model.apply({"params": pp}, inp).astype(
+            return jnp.sum(model.apply({"params": pp}, a).astype(
                 jnp.float32))
         g = jax.grad(f)(p)
-        return jax.tree.map(lambda a, b: a + 0.0 * b.astype(a.dtype), p, g)
+        return jax.tree.map(lambda x, b: x + 0.0 * b.astype(x.dtype), p, g)
 
-    sec = chain(g_once, params)
+    sec = chain(g_once, inp, params)
     out["fwd_bwd"] = {"ms": round(sec * 1e3, 1),
                       "clips_per_s": round(B / sec, 1)}
 
@@ -102,13 +90,14 @@ def main():
         rootrel=True, no_conf=False, use_mask=False, use_noise=False,
         noise_params=None, flip_aug=True)
 
-    def one(carry):
+    def one(a, carry):
+        i, g_ = a
         st, r = carry
         r, sub = jax.random.split(r)
-        st, _ = step(st, inp, gt, sub)
+        st, _ = step(st, i, g_, sub)
         return (st, r)
 
-    sec = chain(one, (state, jax.random.PRNGKey(1)))
+    sec = chain(one, (inp, gt), (state, jax.random.PRNGKey(1)))
     out["full_step"] = {"ms": round(sec * 1e3, 1),
                         "clips_per_s": round(B / sec, 1)}
 
@@ -134,34 +123,40 @@ def main():
 
     proj_flops = TOKENS * (2 * C * 3 * C + 2 * C * C)
     mlp_flops = TOKENS * 2 * (2 * C * 2 * C)
+    # kernel weights + cotangent ride as jit ARGUMENTS (aux)
+    aux = dict(ln_s=ln_s, ln_b=ln_b, wqkv=wqkv, bqkv=bqkv, wproj=wproj,
+               bproj=bproj, w1=w1, b1=b1, w2=w2, g=g)
 
     for mode, rows in (("spatial", 8 * J), ("temporal", F)):
-        def attn_bwd(y, m=mode):
-            outs = _fused_block_bwd_pallas(y, ln_s, ln_b, wqkv, bqkv, wproj,
-                                           H, scale, m, True, True, g)
+        def attn_bwd(a, y, m=mode):
+            outs = _fused_block_bwd_pallas(
+                y, a["ln_s"], a["ln_b"], a["wqkv"], a["bqkv"], a["wproj"],
+                H, scale, m, True, True, a["g"])
             return outs[0]
 
-        sec = chain(attn_bwd, x)
+        sec = chain(attn_bwd, aux, x)
         score_flops = TOKENS * 4 * rows * C
         # bwd: recompute fwd (1x) + dx/dw for each matmul (2x)
         fl = 3 * (proj_flops + score_flops)
         out[f"attn_bwd_{mode}"] = {"ms": round(sec * 1e3, 2),
                                    "tflops": round(fl / sec / 1e12, 1)}
 
-    def mlp_bwd(y):
-        outs = _fused_mlp_bwd_pallas(y, ln_s, ln_b, w1, b1, w2, True, True, g)
+    def mlp_bwd(a, y):
+        outs = _fused_mlp_bwd_pallas(y, a["ln_s"], a["ln_b"], a["w1"],
+                                     a["b1"], a["w2"], True, True, a["g"])
         return outs[0]
 
-    sec = chain(mlp_bwd, x)
+    sec = chain(mlp_bwd, aux, x)
     out["mlp_bwd"] = {"ms": round(sec * 1e3, 2),
                       "tflops": round(3 * mlp_flops / sec / 1e12, 1)}
 
     # forward kernel at the same B for comparison
-    def attn_fwd(y):
-        return _fused_block_pallas(y, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+    def attn_fwd(a, y):
+        return _fused_block_pallas(y, a["ln_s"], a["ln_b"], a["wqkv"],
+                                   a["bqkv"], a["wproj"], a["bproj"],
                                    H, scale, "temporal", True, True)
 
-    sec = chain(attn_fwd, x)
+    sec = chain(attn_fwd, aux, x)
     fl = proj_flops + TOKENS * 4 * F * C
     out["attn_fwd_temporal_b32"] = {"ms": round(sec * 1e3, 2),
                                     "tflops": round(fl / sec / 1e12, 1)}
