@@ -6,8 +6,10 @@ native replacement for the reference's 12-process pickle DataLoader
 (train.py:219-240). Build happens on demand (g++, ~1s) and is cached.
 
     store = ClipStore("train.mbcs")
-    inputs, labels = store.gather([3, 1, 4])      # batch gather, no Python
-    ds = ClipStoreDataset3D("train.mbcs", flip=...)  # MotionDataset3D-compatible
+    inputs, labels = store.gather([3, 1, 4])   # batch gather, no Python
+    ds = ClipStoreDataset3D("train.mbcs")      # MotionDataset3D-compatible
+    # (flip augmentation is applied on-device inside the jitted train
+    #  step from the config's `flip` key, not by the dataset)
 """
 
 from __future__ import annotations
@@ -118,13 +120,21 @@ class ClipStore:
     def __len__(self):
         return self.n_clips
 
-    def gather(self, indices: Sequence[int]):
-        """Batch gather -> (inputs or None, labels), each (B, T, J, C)."""
+    def gather(self, indices: Sequence[int], want_input: bool = True):
+        """Batch gather -> (inputs or None, labels), each (B, T, J, C).
+
+        want_input=False skips the input-stream copy (mbcs_gather accepts
+        a NULL out_input) — callers that substitute inputs from labels
+        (synthetic/gt_2d) shouldn't pay a second full-batch memcpy."""
+        if self._h is None:
+            # a NULL handle would be dereferenced by the native code —
+            # SIGSEGV of the whole process instead of an exception
+            raise ValueError("clip store is closed")
         idx = np.ascontiguousarray(indices, np.int64)
         B = len(idx)
         labels = np.empty((B,) + self.shape, np.float32)
         inputs = np.empty((B,) + self.shape, np.float32) \
-            if self.has_input else None
+            if (self.has_input and want_input) else None
         rc = self._lib.mbcs_gather(
             self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), B,
             inputs.ctypes.data_as(ctypes.c_void_p) if inputs is not None
@@ -193,8 +203,16 @@ class ClipStoreDataset3D:
                 f"synthetic={self.synthetic}, gt_2d={self.gt_2d})")
         return inputs, labels
 
+    def _substitutes_inputs(self) -> bool:
+        return (self.data_split == "train"
+                and (self.synthetic or self.gt_2d)) or \
+               (self.data_split == "test" and self.gt_2d)
+
     def get_batch(self, indices):
-        inputs, labels = self.store.gather(indices)
+        # skip the input-stream memcpy entirely when _postprocess is about
+        # to rebuild inputs from the labels (halves native copy volume)
+        inputs, labels = self.store.gather(
+            indices, want_input=not self._substitutes_inputs())
         return self._postprocess(inputs, labels, indices)
 
     def __getitem__(self, index):

@@ -31,6 +31,13 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
         n_data = len(devices) // n_model
     assert n_data >= 1 and n_data * n_model <= len(devices), (
         f"mesh {n_data}x{n_model} does not fit {len(devices)} device(s)")
+    if n_data * n_model != len(devices):
+        # e.g. n_model=3 on 8 devices -> 2x3 mesh, 2 devices idle: training
+        # "works" but at 75% capacity — surface it instead of silence
+        import warnings
+        warnings.warn(
+            f"mesh {n_data}x{n_model} uses {n_data * n_model} of "
+            f"{len(devices)} devices; the rest sit idle", stacklevel=2)
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, axis_names=("data", "model"))
 

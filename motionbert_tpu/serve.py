@@ -35,6 +35,21 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 
 
+def _resolve(fut: Future, result=None, exc=None):
+    """Resolve a future, tolerating a client that cancelled it: cancel()
+    succeeds while a request is queued, after which set_result/set_exception
+    raise InvalidStateError — which must neither poison the other requests
+    in the round nor kill the collector thread. A done()-check cannot close
+    the race (cancel can land between the check and the set), so swallow."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:
+        pass  # cancelled (or already resolved by the last-resort guard)
+
+
 @dataclass
 class ServerStats:
     """Aggregate serving counters (only the collector thread writes them)."""
@@ -66,10 +81,15 @@ class BatchingServer:
     def __init__(self, fn: Callable, batch_buckets: Sequence[int] =
                  (1, 8, 32, 128), max_wait_ms: float = 5.0,
                  max_queue: int = 4096):
-        if list(batch_buckets) != sorted(set(batch_buckets)):
-            raise ValueError("batch_buckets must be ascending and unique")
+        buckets = tuple(int(b) for b in batch_buckets)
+        # non-empty + positive: an empty/zero ladder would IndexError the
+        # collector thread, leaving every submitted future hanging forever
+        if not buckets or list(buckets) != sorted(set(buckets)) \
+                or buckets[0] < 1:
+            raise ValueError("batch_buckets must be a non-empty ascending "
+                             "sequence of positive ints")
         self._fn = fn
-        self._buckets = tuple(int(b) for b in batch_buckets)
+        self._buckets = buckets
         self._max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
         self._closed = False
@@ -88,15 +108,29 @@ class BatchingServer:
     def submit(self, clip: np.ndarray) -> Future:
         """Enqueue one (T, ...) clip; returns a Future of fn's per-clip
         output (numpy, leading batch dim removed)."""
-        fut: Future = Future()
         # copy: the collector may stack this buffer up to max_wait_ms later;
         # a caller reusing its array after submit must not corrupt the batch
-        item = (np.array(clip, copy=True), fut)
-        with self._submit_lock:
-            if self._closed:
-                raise RuntimeError("server is shut down")
-            self._q.put(item)
-        return fut
+        arr = np.array(clip, copy=True)
+        if arr.ndim < 1:
+            # fail the bad request HERE — a 0-d clip would IndexError the
+            # collector's length grouping and poison the whole round
+            raise ValueError(
+                f"clip must have a leading time axis; got shape {arr.shape}")
+        fut: Future = Future()
+        item = (arr, fut)
+        while True:
+            # put_nowait under the lock, sleep outside it: blocking on a
+            # full queue while HOLDING the lock would serialize all
+            # submitters on the lock and deadlock shutdown() against it
+            with self._submit_lock:
+                if self._closed:
+                    raise RuntimeError("server is shut down")
+                try:
+                    self._q.put_nowait(item)
+                    return fut
+                except queue.Full:
+                    pass
+            time.sleep(0.001)  # backpressure wait
 
     def shutdown(self, wait: bool = True):
         """Stop accepting work; drain the queue, then stop the worker."""
@@ -104,9 +138,29 @@ class BatchingServer:
             if self._closed:
                 return
             self._closed = True
-            self._q.put(None)  # sentinel
-        if wait:
+        # _closed is set (under the same lock submit takes), so no new item
+        # can land behind the sentinel; enqueue it without blocking forever
+        # on a full queue whose collector may already be dead
+        while True:
+            try:
+                self._q.put_nowait(None)  # sentinel
+                break
+            except queue.Full:
+                if not self._worker.is_alive():
+                    break
+                time.sleep(0.001)
+        if wait and self._worker.is_alive():
             self._worker.join()
+        # fail anything the collector never drained (e.g. it died): a
+        # hanging fut.result() with no timeout must not block forever
+        while True:
+            try:
+                leftover = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if leftover is not None:
+                _resolve(leftover[1], exc=RuntimeError(
+                    "server shut down before this request was dispatched"))
 
     def __enter__(self):
         return self
@@ -202,13 +256,13 @@ class BatchingServer:
                 results = [unstack_result(res, k) for k in range(len(chunk))]
             except Exception as e:  # propagate to every caller in the batch
                 for _, fut in chunk:
-                    fut.set_exception(e)
+                    _resolve(fut, exc=e)
                 continue
             self.stats.batches += 1
             self.stats.padded_rows += bucket - len(chunk)
             self.stats.batched_requests += len(chunk)
             for (_, fut), out in zip(chunk, results):
-                fut.set_result(out)
+                _resolve(fut, result=out)
 
     def _run(self):
         done = False
@@ -229,7 +283,7 @@ class BatchingServer:
             except Exception as e:  # last-resort guard: the collector must
                 for _, fut in items:  # outlive any malformed request
                     if not fut.done():
-                        fut.set_exception(e)
+                        _resolve(fut, exc=e)  # races with cancel(): tolerate
 
 
 class MotionBERTServer:

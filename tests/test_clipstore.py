@@ -128,3 +128,30 @@ def test_clipstore_gt_2d_test_split(store_paths):
     np.testing.assert_array_equal(x[..., :2], labels[3][..., :2])
     np.testing.assert_array_equal(x[..., 2], 1.0)
     np.testing.assert_array_equal(y, labels[3])
+
+
+def test_gather_after_close_raises(store_paths):
+    """gather() on a closed store must raise, not hand the native code a
+    NULL handle (which would SIGSEGV the whole process)."""
+    import pytest
+
+    from motionbert_tpu.data.clipstore import ClipStore
+
+    both, _, _, _ = store_paths
+    store = ClipStore(both)
+    store.close()
+    with pytest.raises(ValueError, match="closed"):
+        store.gather([0])
+
+
+def test_gather_want_input_false_skips_copy(store_paths):
+    """want_input=False returns inputs=None even on a store that has an
+    input stream (the synthetic/gt_2d substitution fast path)."""
+    from motionbert_tpu.data.clipstore import ClipStore
+
+    both, _, inputs, labels = store_paths
+    store = ClipStore(both)
+    xi, yl = store.gather([1, 2], want_input=False)
+    assert xi is None
+    np.testing.assert_array_equal(yl[0], labels[1])
+    np.testing.assert_array_equal(yl[1], labels[2])

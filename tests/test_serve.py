@@ -266,3 +266,51 @@ def test_dispatch_uses_planned_buckets():
         stats = s.stats
     assert stats.batches == 2
     assert stats.padded_rows == 0
+
+
+def test_cancelled_future_does_not_poison_round():
+    """A client cancelling its queued future (e.g. after a result timeout)
+    must not fail the other requests collected in the same round or kill
+    the collector."""
+    import time as _time
+
+    done = threading.Event()
+
+    def fn(x):
+        done.wait(timeout=10)  # hold the batch until cancels land
+        return np.asarray(x)
+
+    clip = np.ones((4, 3), np.float32)
+    with BatchingServer(fn, batch_buckets=(1, 4), max_wait_ms=30) as srv:
+        futs = [srv.submit(clip) for _ in range(4)]
+        assert futs[0].cancel()  # still queued: cancel succeeds
+        done.set()
+        for f in futs[1:]:  # the others must resolve normally
+            np.testing.assert_allclose(f.result(timeout=30), clip)
+        # and the server must still work afterwards
+        np.testing.assert_allclose(srv.submit(clip).result(timeout=30), clip)
+
+
+def test_invalid_buckets_and_clips_rejected():
+    with pytest.raises(ValueError):
+        BatchingServer(lambda x: x, batch_buckets=())
+    with pytest.raises(ValueError):
+        BatchingServer(lambda x: x, batch_buckets=(0, 4))
+    with BatchingServer(lambda x: np.asarray(x),
+                        batch_buckets=(1, 4)) as srv:
+        with pytest.raises(ValueError):  # 0-d clip fails ITS caller only
+            srv.submit(np.float32(1.0))
+        out = srv.submit(np.ones((4, 3), np.float32)).result(timeout=30)
+        assert out.shape == (4, 3)
+
+
+def test_shutdown_fails_undrained_futures():
+    """If the collector dies, shutdown() must not hang and queued futures
+    must resolve with an error instead of blocking result() forever."""
+    srv = BatchingServer(lambda x: np.asarray(x), batch_buckets=(1, 4),
+                         max_wait_ms=5)
+    # simulate a dead collector: stop it via the sentinel path first
+    srv.shutdown()
+    assert not srv._worker.is_alive()
+    with pytest.raises(RuntimeError):
+        srv.submit(np.ones((4, 3), np.float32))
