@@ -272,12 +272,16 @@ class BatchingServer:
                 continue
             self.stats.requests += len(items)
             try:
-                by_len: dict = {}
+                by_shape: dict = {}
                 for clip, fut in items:
-                    by_len.setdefault(clip.shape[0], []).append((clip, fut))
+                    # group by the FULL shape, not just clip length: a
+                    # malformed clip (right length, wrong trailing shape)
+                    # must form its own group and fail alone, never the
+                    # well-formed requests it would otherwise co-batch with
+                    by_shape.setdefault(clip.shape, []).append((clip, fut))
                 # largest groups first: best amortization while stragglers
                 # of other lengths keep queueing behind
-                for _, grp in sorted(by_len.items(),
+                for _, grp in sorted(by_shape.items(),
                                      key=lambda kv: -len(kv[1])):
                     self._dispatch_group(grp)
             except Exception as e:  # last-resort guard: the collector must

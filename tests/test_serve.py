@@ -122,20 +122,22 @@ def test_jitted_model_through_server():
 
 
 def test_malformed_clip_fails_only_its_future():
-    """A clip with the right length but wrong trailing shape must fail its
-    own future and leave the collector thread alive for later requests."""
-    with BatchingServer(_echo_fn, batch_buckets=(1, 8), max_wait_ms=10) as s:
+    """A clip with the right length but wrong trailing shape groups (and
+    fails, if fn rejects it) ALONE — the well-formed same-length requests
+    in the same collection window must still resolve correctly, and the
+    collector stays alive for later requests."""
+    def fn(batch):
+        if batch.shape[1:] != (5, 3):
+            raise ValueError("wrong trailing shape")
+        return batch * 2.0 + 1.0
+
+    with BatchingServer(fn, batch_buckets=(1, 8), max_wait_ms=10) as s:
         good = np.ones((5, 3), np.float32)
         bad = np.ones((5, 4), np.float32)  # same T, mismatched shape
         f_good, f_bad = s.submit(good), s.submit(bad)
-        # one of the two groups stacks fine; the mixed stack (if they land
-        # in the same collection window) fails both with ValueError
-        results = []
-        for f in (f_good, f_bad):
-            try:
-                results.append(f.result(timeout=10))
-            except ValueError:
-                results.append(None)
+        np.testing.assert_allclose(f_good.result(timeout=10), 3.0)
+        with pytest.raises(ValueError):
+            f_bad.result(timeout=10)
         # server still serves after the failure
         f2 = s.submit(good)
         np.testing.assert_allclose(f2.result(timeout=10), 3.0)
@@ -314,3 +316,55 @@ def test_shutdown_fails_undrained_futures():
     assert not srv._worker.is_alive()
     with pytest.raises(RuntimeError):
         srv.submit(np.ones((4, 3), np.float32))
+
+
+@pytest.mark.slow
+def test_serving_chaos_soak():
+    """~15s soak: concurrent clients that cancel futures, submit malformed
+    clips, and churn lengths. Every well-formed, uncancelled request must
+    resolve correctly, the collector must survive, and a clean shutdown
+    must leave nothing hanging."""
+    stop = time.monotonic() + 15.0
+    errors = []
+
+    def strict_fn(batch):  # a real model rejects wrong trailing shapes
+        if batch.shape[-1] != 3:
+            raise ValueError("wrong trailing shape")
+        return batch * 2.0 + 1.0
+
+    with BatchingServer(strict_fn, batch_buckets=(1, 8, 32),
+                        max_wait_ms=5) as srv:
+        def client(tid):
+            rng = np.random.RandomState(tid)
+            while time.monotonic() < stop:
+                roll = rng.rand()
+                T = int(rng.choice([9, 27]))
+                clip = rng.randn(T, 3).astype(np.float32)
+                if roll < 0.05:  # malformed trailing shape
+                    f = srv.submit(np.ones((T, 4), np.float32))
+                    try:
+                        f.result(timeout=30)
+                    except ValueError:
+                        pass  # its own failure only
+                    continue
+                f = srv.submit(clip)
+                if roll < 0.15:  # cancel while (maybe) queued
+                    f.cancel()
+                    continue
+                try:
+                    out = f.result(timeout=30)
+                except Exception as e:  # noqa: BLE001
+                    errors.append(repr(e))
+                    continue
+                if not np.allclose(out, clip * 2.0 + 1.0):
+                    errors.append("wrong result")
+
+        threads = [threading.Thread(target=client, args=(t,))
+                   for t in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert srv._worker.is_alive(), "collector died during the soak"
+        assert not errors, errors[:5]
+        assert srv.stats.batches > 0
