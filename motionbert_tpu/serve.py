@@ -151,16 +151,20 @@ class BatchingServer:
                 time.sleep(0.001)
         if wait and self._worker.is_alive():
             self._worker.join()
-        # fail anything the collector never drained (e.g. it died): a
-        # hanging fut.result() with no timeout must not block forever
-        while True:
-            try:
-                leftover = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if leftover is not None:
-                _resolve(leftover[1], exc=RuntimeError(
-                    "server shut down before this request was dispatched"))
+        if not self._worker.is_alive():
+            # the collector is gone (joined or died): fail anything it
+            # never drained so a timeout-less fut.result() can't hang.
+            # With wait=False and a LIVE collector we must not touch the
+            # queue — it will drain everything up to the sentinel itself.
+            while True:
+                try:
+                    leftover = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if leftover is not None:
+                    _resolve(leftover[1], exc=RuntimeError(
+                        "server shut down before this request was "
+                        "dispatched"))
 
     def __enter__(self):
         return self
