@@ -133,10 +133,6 @@ def test_clipstore_gt_2d_test_split(store_paths):
 def test_gather_after_close_raises(store_paths):
     """gather() on a closed store must raise, not hand the native code a
     NULL handle (which would SIGSEGV the whole process)."""
-    import pytest
-
-    from motionbert_tpu.data.clipstore import ClipStore
-
     both, _, _, _ = store_paths
     store = ClipStore(both)
     store.close()
@@ -147,8 +143,6 @@ def test_gather_after_close_raises(store_paths):
 def test_gather_want_input_false_skips_copy(store_paths):
     """want_input=False returns inputs=None even on a store that has an
     input stream (the synthetic/gt_2d substitution fast path)."""
-    from motionbert_tpu.data.clipstore import ClipStore
-
     both, _, inputs, labels = store_paths
     store = ClipStore(both)
     xi, yl = store.gather([1, 2], want_input=False)

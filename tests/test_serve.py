@@ -274,8 +274,6 @@ def test_cancelled_future_does_not_poison_round():
     """A client cancelling its queued future (e.g. after a result timeout)
     must not fail the other requests collected in the same round or kill
     the collector."""
-    import time as _time
-
     done = threading.Event()
 
     def fn(x):
@@ -307,15 +305,28 @@ def test_invalid_buckets_and_clips_rejected():
 
 
 def test_shutdown_fails_undrained_futures():
-    """If the collector dies, shutdown() must not hang and queued futures
-    must resolve with an error instead of blocking result() forever."""
+    """If the collector DIES with requests still queued, shutdown() must
+    not hang and the undrained futures must resolve with an error instead
+    of blocking result() forever."""
     srv = BatchingServer(lambda x: np.asarray(x), batch_buckets=(1, 4),
                          max_wait_ms=5)
-    # simulate a dead collector: stop it via the sentinel path first
-    srv.shutdown()
+    clip = np.ones((4, 3), np.float32)
+    srv.submit(clip).result(timeout=30)  # collector alive and serving
+
+    def boom():  # next loop iteration kills the collector thread
+        raise RuntimeError("collector killed (test)")
+
+    srv._collect = boom
+    poke = srv.submit(clip)  # wakes the worker; processed, then boom runs
+    poke.result(timeout=30)
+    srv._worker.join(timeout=30)
     assert not srv._worker.is_alive()
+    orphan = srv.submit(clip)  # queued; nothing will ever drain it
+    srv.shutdown()  # must neither hang nor leave orphan unresolved
+    with pytest.raises(RuntimeError, match="before this request"):
+        orphan.result(timeout=5)
     with pytest.raises(RuntimeError):
-        srv.submit(np.ones((4, 3), np.float32))
+        srv.submit(clip)
 
 
 @pytest.mark.slow
@@ -326,6 +337,10 @@ def test_serving_chaos_soak():
     must leave nothing hanging."""
     stop = time.monotonic() + 15.0
     errors = []
+    completed = [0] * 12  # per-thread good-result count: a client thread
+    # dying from an UNEXPECTED exception (e.g. a TimeoutError from a
+    # never-resolved future — the exact failure this soak exists to catch)
+    # must fail the test, not silently end that thread's loop
 
     def strict_fn(batch):  # a real model rejects wrong trailing shapes
         if batch.shape[-1] != 3:
@@ -334,30 +349,36 @@ def test_serving_chaos_soak():
 
     with BatchingServer(strict_fn, batch_buckets=(1, 8, 32),
                         max_wait_ms=5) as srv:
+        def client_body(tid, rng):
+            roll = rng.rand()
+            T = int(rng.choice([9, 27]))
+            clip = rng.randn(T, 3).astype(np.float32)
+            if roll < 0.05:  # malformed trailing shape: fails ALONE
+                f = srv.submit(np.ones((T, 4), np.float32))
+                try:
+                    f.result(timeout=30)
+                    errors.append("malformed clip did not fail")
+                except ValueError:
+                    pass  # its own failure only
+                return
+            f = srv.submit(clip)
+            if roll < 0.15:  # cancel while (maybe) queued
+                f.cancel()
+                return
+            out = f.result(timeout=30)  # Timeout/anything else -> errors
+            if np.allclose(out, clip * 2.0 + 1.0):
+                completed[tid] += 1
+            else:
+                errors.append("wrong result")
+
         def client(tid):
             rng = np.random.RandomState(tid)
             while time.monotonic() < stop:
-                roll = rng.rand()
-                T = int(rng.choice([9, 27]))
-                clip = rng.randn(T, 3).astype(np.float32)
-                if roll < 0.05:  # malformed trailing shape
-                    f = srv.submit(np.ones((T, 4), np.float32))
-                    try:
-                        f.result(timeout=30)
-                    except ValueError:
-                        pass  # its own failure only
-                    continue
-                f = srv.submit(clip)
-                if roll < 0.15:  # cancel while (maybe) queued
-                    f.cancel()
-                    continue
                 try:
-                    out = f.result(timeout=30)
+                    client_body(tid, rng)
                 except Exception as e:  # noqa: BLE001
-                    errors.append(repr(e))
-                    continue
-                if not np.allclose(out, clip * 2.0 + 1.0):
-                    errors.append("wrong result")
+                    errors.append(f"client {tid}: {e!r}")
+                    return
 
         threads = [threading.Thread(target=client, args=(t,))
                    for t in range(12)]
@@ -368,3 +389,4 @@ def test_serving_chaos_soak():
         assert srv._worker.is_alive(), "collector died during the soak"
         assert not errors, errors[:5]
         assert srv.stats.batches > 0
+        assert all(c > 0 for c in completed), completed  # nobody starved

@@ -275,9 +275,10 @@ def test_mesh_trainer_eval_only_pw3d(tmp_path):
                                  resume="", evaluate="", selection="",
                                  seed=0)
     out = train_with_config(args, opts)
-    # pw3d validation ran (best_jpe picked up a real metric) and the
-    # epoch checkpoint was written
-    assert np.isfinite(out["best_jpe"])
+    # pw3d validation RAN and produced a real metric: best_jpe must have
+    # moved off its 9999.0 initializer (a skipped validation or a NaN
+    # mpjpe both leave it at 9999.0 — NaN < 9999 is False)
+    assert out["best_jpe"] < 9999.0
     assert os.path.exists(os.path.join(str(tmp_path), "latest_epoch.ckpt"))
 
 
@@ -304,12 +305,16 @@ def test_mesh_apply_embeds_no_smpl_constants():
                            xx, deterministic=True, smpl=s)
 
     closed = jax.make_jaxpr(fwd)(v["params"], x, smpl_args)
-    # the biggest SMPL tensor (posedirs, V*3*207) must not appear among
-    # the trace constants; small glue consts (LN scales etc.) are fine
-    big = MODEL.posedirs.size
-    sizes = [int(np.prod(c.shape)) for c in closed.consts
-             if getattr(c, "shape", None)]
-    assert all(s < big for s in sizes), sizes
+    # NO SMPL tensor may appear among the trace constants — not just
+    # posedirs: shapedirs/J_regressor/lbs_weights are still multi-MB at
+    # the real 6890-vert topology. Tiny leaves (<128 elems, e.g. the
+    # 10-beta mean_shape) are excluded: a small glue const could collide
+    # by size, and their upload cost is negligible anyway.
+    leaf_sizes = {int(np.asarray(a).size) for a in smpl_args.values()
+                  if np.asarray(a).size >= 128}
+    const_sizes = {int(np.prod(c.shape)) for c in closed.consts
+                   if getattr(c, "shape", None)}
+    assert not (leaf_sizes & const_sizes), (leaf_sizes, const_sizes)
 
     # and the arrays DO flow in as arguments: outputs respond to them
     out = fwd(v["params"], x, smpl_args)

@@ -220,8 +220,6 @@ def test_padded_eval_batches_pads_tail_only():
     """The shared eval-loop helper (parallel.padded_eval_batches): tail
     batch padded to the first batch's size by repeating the last clip,
     earlier batches untouched, n reports the real count."""
-    import numpy as np
-
     from motionbert_tpu.parallel import padded_eval_batches
 
     batches = [(np.arange(4 * 3).reshape(4, 3).astype(np.float32), "g0"),
