@@ -304,6 +304,8 @@ def test_invalid_buckets_and_clips_rejected():
         assert out.shape == (4, 3)
 
 
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
 def test_shutdown_fails_undrained_futures():
     """If the collector DIES with requests still queued, shutdown() must
     not hang and the undrained futures must resolve with an error instead
